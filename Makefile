@@ -1,0 +1,13 @@
+test:
+	python -m pytest tests/ -x -q
+
+test-fast:
+	python -m pytest tests/ -x -q -k "not smoke"
+
+bench:
+	python bench.py
+
+lint:
+	python -m compileall -q generative_models_tpu tests
+
+.PHONY: test test-fast bench lint

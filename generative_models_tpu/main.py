@@ -1,0 +1,204 @@
+"""Training harness / CLI.
+
+API-compatible with the reference entry point (gms/main.py):
+
+    python -m generative_models_tpu.main --model=<name> [--flag=val ...]
+
+Same two-phase flag parsing, same epoch structure (eval FIRST, then train,
+final eval after the last epoch), same TB key conventions
+(<model>/train/<k>, <model>/test/<k>, nlogp promoted to train/ & eval/),
+same artifacts (model checkpoint + hps.yaml + sample grids + sampling-process
+animations).
+
+TPU-native differences:
+  * the whole train epoch runs as one jitted lax.scan over on-device data
+    (--jit_epoch=1, default) — no per-step H2D batch copies or D2H metric
+    pulls (the reference does both every step, gms/main.py:208,215);
+  * eval_heavy (FID / precision / recall) runs on device (utils/metrics.py);
+  * checkpoints store the full train state (params + optimizer + step + rng),
+    not weights-only.
+"""
+
+import time
+from itertools import count
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from generative_models_tpu import data as data_lib
+from generative_models_tpu.parallel import make_mesh, maybe_initialize_distributed, set_mesh
+from generative_models_tpu.utils import (
+    count_vars,
+    discover_models,
+    dump_logger,
+    make_logger,
+    prefix_dict,
+    to_numpy,
+)
+from generative_models_tpu.utils.config import parse_args
+
+TOTAL_HEAVY_SAMPLES = 500  # reference: gms/main.py:101
+
+
+def make_writer(logdir):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(str(logdir))
+    except ImportError:
+        print('[logger] tensorboard unavailable; scalar logs go to stdout only')
+        return None
+
+
+def load_model_and_data(argv=None):
+    """Two-phase parse, model + data construction (reference: gms/main.py:43-92)."""
+    maybe_initialize_distributed()
+    G, Model = parse_args(argv, discover_models=discover_models)
+    set_mesh(make_mesh(G.get('mesh', '')))
+    G.logdir = Path(G.logdir)
+    model = Model(G=G)
+    if G.weights_from != Path('.'):
+        model.load_weights(G.weights_from)
+    dataset = data_lib.load_mnist(G)
+    print('num_vars', count_vars(model.params))
+
+    autoencoder = classifier = None
+    if G.eval_heavy:
+        from generative_models_tpu.models.arbiters import load_arbiter
+
+        autoencoder = load_arbiter(G.autoencoder)
+        if G.class_cond:
+            classifier = load_arbiter(G.classifier)
+    return model, dataset, autoencoder, classifier, G
+
+
+def eval_heavy(logger, model, dataset, autoencoder, classifier, G):
+    """Draw >=500 samples, score FID + precision/recall (+ conditional
+    metrics) in the arbiter's latent space — reference: gms/main.py:95-149,
+    rebuilt fully on-device."""
+    from generative_models_tpu.utils import metrics as M
+
+    sample_ct = 0
+    all_z_sample, all_z_real, all_z_cond = [], [], []
+    all_pix_sample, all_pix_real = [], []
+    cls_losses = []
+    bs = G.bs
+    n_test = dataset.test_x.shape[0]
+    offset = 0
+    while sample_ct < TOTAL_HEAVY_SAMPLES:
+        test_x = dataset.test_x[offset : offset + bs]
+        test_y = dataset.test_y[offset : offset + bs]
+        offset += bs
+        if test_x.shape[0] < bs or offset > n_test:
+            break
+        if G.class_cond:
+            cond_samp = model.sample(bs, y=test_y)
+            logits = classifier.apply(cond_samp)
+            cls_losses.append(float(M.cross_entropy(logits, test_y)))
+            all_z_cond.append(autoencoder.apply(cond_samp))
+        samp = model.sample(bs, y=-np.ones(bs, np.int32))
+        all_pix_sample.append(samp.reshape(bs, -1))
+        all_pix_real.append(test_x.reshape(bs, -1))
+        all_z_real.append(autoencoder.apply(test_x))
+        all_z_sample.append(autoencoder.apply(samp))
+        sample_ct += bs
+
+    import jax.numpy as jnp
+
+    z_samp = jnp.concatenate(all_z_sample)
+    z_real = jnp.concatenate(all_z_real)
+    results = {}
+    # 'ignite_fid' in the reference is standard-formula FID over the same
+    # autoencoder features (gms/main.py:108,134)
+    results['ignite_fid'] = M.frechet_distance(z_samp, z_real, mean_of_sq=False)
+    results['fid'] = M.compute_fid(z_samp, z_real)
+    results.update(M.precision_recall_f1(real=z_real, gen=z_samp))
+    if G.class_cond:
+        results['classifier_loss'] = float(np.mean(cls_losses))
+        z_cond = jnp.concatenate(all_z_cond)
+        cond = M.precision_recall_f1(real=z_real, gen=z_cond)
+        cond['fid'] = M.compute_fid(z_cond, z_real)
+        results.update(prefix_dict('cond_', cond))
+    for key, val in results.items():
+        logger[f'eval/{key}'].append(float(np.mean(to_numpy(val))))
+
+
+def train(model, dataset, autoencoder, classifier, G):
+    writer = make_writer(G.logdir)
+    logger = dump_logger(make_logger(), writer, 0, G)
+    eval_key = jax.random.key(G.get('seed', 0) + 1000)
+    data_key = jax.random.key(G.get('seed', 0) + 2000)
+
+    if G.get('profile', 0):
+        jax.profiler.start_trace(str(Path(G.logdir) / 'profile'))
+
+    for epoch in count(0):
+        # ---- TEST (eval first: reference gms/main.py:157-183) ----
+        if model.has_loss():
+            ek = jax.random.fold_in(eval_key, epoch)
+            bx, by = dataset.epoch_batches(ek, train=False)
+            test_metrics = jax.device_get(model.eval_epoch(bx, by))
+            for key, val in test_metrics.items():
+                prefix_key = (
+                    f'{G.model}/test/{key}' if key != 'nlogp' else 'eval/nlogp'
+                )
+                logger[prefix_key].append(float(val))
+        test_x, test_y = dataset.first_test_batch()
+        eval_time = time.time()
+        model.evaluate(writer, test_x, test_y, epoch)
+        logger['dt/eval'] = [time.time() - eval_time]
+
+        # ---- LOGGING / SAVE / HEAVY EVAL ----
+        logger['num_vars'] = [count_vars(model.params)]
+        if epoch % G.save_n == 0:
+            model.save(G.logdir, test_x, test_y)
+            print('SAVED MODEL', G.logdir)
+            if G.eval_heavy:
+                print('RUNNING HEAVY EVAL...')
+                t0 = time.time()
+                eval_heavy(logger, model, dataset, autoencoder, classifier, G)
+                logger['dt/eval_heavy'] = [time.time() - t0]
+                print('DONE HEAVY EVAL')
+        logger = dump_logger(logger, writer, epoch, G)
+
+        if epoch >= G.epochs:
+            break
+
+        # ---- TRAIN ----
+        train_time = time.time()
+        if not G.skip_training:
+            dk = jax.random.fold_in(data_key, epoch)
+            bx, by = dataset.epoch_batches(dk, train=True)
+            if G.get('jit_epoch', 1):
+                metrics = model.train_epoch(bx, by)
+                metrics = jax.device_get(jax.block_until_ready(metrics))
+                for key, val in metrics.items():
+                    prefix_key = (
+                        f'{G.model}/train/{key}' if key != 'nlogp' else 'train/nlogp'
+                    )
+                    logger[prefix_key].append(float(val))
+            else:
+                n_steps = bx.shape[0]
+                for i in range(n_steps):
+                    metrics = model.train_step(bx[i], by[i])
+                    for key in metrics:
+                        prefix_key = (
+                            f'{G.model}/train/{key}'
+                            if key != 'nlogp'
+                            else 'train/nlogp'
+                        )
+                        logger[prefix_key].append(metrics[key])
+        logger['dt/train'] = [time.time() - train_time]
+
+    if G.get('profile', 0):
+        jax.profiler.stop_trace()
+
+
+def main(argv=None):
+    model, dataset, autoencoder, classifier, G = load_model_and_data(argv)
+    train(model, dataset, autoencoder, classifier, G)
+
+
+if __name__ == '__main__':
+    main()

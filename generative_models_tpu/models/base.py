@@ -1,0 +1,244 @@
+"""GM base class: the functional-core/imperative-shell translation of the
+reference's GM (reference: gms/common.py:138-208).
+
+Design: every model owns
+  * a flax module (self.net) — pure apply;
+  * a TrainState pytree (params + optimizer state + step + rng key),
+    replicated over the mesh;
+  * pure step functions (loss_fn / train_step_fn / sample_fn) that are jitted
+    once and reused — the host-level methods (train_step, sample, ...) keep
+    the reference's imperative API while everything hot stays on device.
+
+The default train_step is a single Adam step on self.loss, matching the
+reference's lazy-Adam default (gms/common.py:158-169). The default
+train_epoch scans ALL steps of an epoch inside one jit — the TPU-native
+replacement for the reference's host-driven per-step loop with D2H metric
+pulls (gms/main.py:205-215).
+"""
+
+import functools
+from pathlib import Path
+from typing import Any
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+
+from generative_models_tpu.parallel import constrain_batch, replicate
+from generative_models_tpu.utils import write_grid, write_gridvid
+from generative_models_tpu.utils.config import AttrDict
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.int32
+    rng: jax.Array
+    extra: Any = None  # model-specific mutable state (batch_stats, 2nd optim, ...)
+
+
+def merge_pytree(target, loaded):
+    """strict=False state restore: copy leaves from `loaded` into `target`
+    where the path exists and the shape matches (reference parity with
+    load_state_dict(strict=False), gms/main.py:79-82)."""
+    flat_t = flax.traverse_util.flatten_dict(
+        serialization.to_state_dict(target), sep='/'
+    )
+    flat_l = flax.traverse_util.flatten_dict(
+        serialization.to_state_dict(loaded), sep='/'
+    )
+    for k, v in flat_l.items():
+        if k in flat_t and jnp.shape(flat_t[k]) == jnp.shape(v):
+            flat_t[k] = v
+    return serialization.from_state_dict(
+        target, flax.traverse_util.unflatten_dict(flat_t, sep='/')
+    )
+
+
+class GM:
+    """GenerativeModel base."""
+
+    DG = AttrDict()  # model-specific config defaults
+
+    def __init__(self, G):
+        self.G = G
+        self._init_key = jax.random.key(G.get('seed', 0))
+        self.net = self.build()
+        self.state = replicate(self.init_state(self._init_key))
+        # cached jitted functions
+        self._jit_train_step = jax.jit(self.train_step_fn, donate_argnums=0)
+        self._jit_train_epoch = jax.jit(self._train_epoch_fn, donate_argnums=0)
+        self._jit_eval_loss = jax.jit(self.loss_metrics_fn)
+        self._jit_eval_epoch = jax.jit(self._eval_epoch_fn)
+
+    # ------------------------------------------------------------------ #
+    # to implement per model
+    # ------------------------------------------------------------------ #
+    def build(self):
+        """Return the flax module."""
+        raise NotImplementedError
+
+    def loss(self, params, x, y, rng, train=True):
+        """Pure loss: (params, batch, rng) -> (loss, metrics dict)."""
+        raise NotImplementedError
+
+    def evaluate(self, writer, x, y, epoch):
+        raise NotImplementedError(
+            'you need to implement the evaluate method. make some samples or something.'
+        )
+
+    # ------------------------------------------------------------------ #
+    # state construction
+    # ------------------------------------------------------------------ #
+    def make_optimizer(self):
+        return optax.adam(self.G.lr)
+
+    def example_input(self):
+        size = 32 if self.G.get('pad32', 0) else 28
+        return jnp.zeros((1, size, size, 1), jnp.float32)
+
+    def init_params(self, rng):
+        return self.net.init(rng, self.example_input())['params']
+
+    def init_state(self, rng):
+        p_rng, s_rng = jax.random.split(rng)
+        params = self.init_params(p_rng)
+        opt_state = self.make_optimizer().init(params)
+        return TrainState(
+            params=params, opt_state=opt_state, step=jnp.int32(0), rng=s_rng
+        )
+
+    # ------------------------------------------------------------------ #
+    # pure step functions (jitted once in __init__)
+    # ------------------------------------------------------------------ #
+    def train_step_fn(self, state, x, y):
+        """Default single-optimizer step (reference: gms/common.py:158-169)."""
+        x = constrain_batch(x)
+        rng = jax.random.fold_in(state.rng, state.step)
+        (_, metrics), grads = jax.value_and_grad(self.loss, has_aux=True)(
+            state.params, x, y, rng, True
+        )
+        updates, opt_state = self.make_optimizer().update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    EVAL_RNG_TAG = 0x7FFFFFFF  # fold_in tag reserved for eval passes
+
+    def loss_metrics_fn(self, state, x, y):
+        rng = jax.random.fold_in(state.rng, self.EVAL_RNG_TAG)
+        _, metrics = self.loss(state.params, x, y, rng, False)
+        return metrics
+
+    def _train_epoch_fn(self, state, bx, by):
+        def body(s, batch):
+            s, metrics = self.train_step_fn(s, *batch)
+            return s, metrics
+
+        state, metrics = jax.lax.scan(body, state, (bx, by))
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+    def _eval_epoch_fn(self, state, bx, by):
+        def body(_, batch):
+            return None, self.loss_metrics_fn(state, *batch)
+
+        _, metrics = jax.lax.scan(body, None, (bx, by))
+        return jax.tree_util.tree_map(jnp.mean, metrics)
+
+    # ------------------------------------------------------------------ #
+    # host-level API (reference parity)
+    # ------------------------------------------------------------------ #
+    @property
+    def params(self):
+        return self.state.params
+
+    def next_rng(self):
+        """Host-side key splitting for sampling/eval calls."""
+        self._init_key, sub = jax.random.split(self._init_key)
+        return sub
+
+    def train_step(self, x, y=None):
+        self.state, metrics = self._jit_train_step(self.state, x, y)
+        return metrics
+
+    def train_epoch(self, bx, by):
+        """(steps, bs, ...) batched epoch -> mean metrics, one jit call."""
+        self.state, metrics = self._jit_train_epoch(self.state, bx, by)
+        return metrics
+
+    def eval_loss(self, x, y=None):
+        return self._jit_eval_loss(self.state, x, y)
+
+    def eval_epoch(self, bx, by):
+        return self._jit_eval_epoch(self.state, bx, by)
+
+    def has_loss(self):
+        """Whether the harness should run the test-set loss sweep (the
+        reference checks hasattr(model, 'loss'), gms/main.py:163)."""
+        return type(self).loss is not GM.loss
+
+    # --- checkpointing: full train state, not weights-only (the reference
+    # loses optimizer state + step on resume, gms/common.py:154-156) ---
+    def _host_state_raw_rng(self):
+        """Host copy of the state with the typed PRNG key unwrapped to its
+        uint32 data (msgpack can't serialize typed keys)."""
+        state = jax.device_get(self.state)
+        return state.replace(rng=jax.random.key_data(state.rng))
+
+    def save(self, path, test_x=None, test_y=None):
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        with open(path / 'model.pt', 'wb') as f:
+            f.write(serialization.to_bytes(self._host_state_raw_rng()))
+
+    def load_weights(self, path):
+        with open(path, 'rb') as f:
+            data = f.read()
+        template = self._host_state_raw_rng()
+        try:
+            loaded = serialization.from_bytes(template, data)
+        except (ValueError, KeyError):
+            # structure mismatch -> strict=False merge of matching leaves
+            state_dict = serialization.msgpack_restore(data)
+            loaded = merge_pytree(template, state_dict)
+        loaded = loaded.replace(rng=jax.random.wrap_key_data(loaded.rng))
+        self.state = replicate(loaded)
+
+
+class Autoreg(GM):
+    """Shared evaluate for autoregressive models (reference:
+    gms/common.py:196-201): 25 samples -> 5x5 grid + sampling-process video."""
+
+    def evaluate(self, writer, x, y, epoch):
+        samples, gen = self.sample(25)
+        write_grid(writer, 'samples', samples, epoch)
+        write_gridvid(writer, 'sampling_process', gen, epoch, logdir=self.G.logdir)
+
+
+class Arbiter(GM):
+    """Eval models (autoencoder/classifier). The reference saves these as
+    TorchScript so the harness can reload them without class code
+    (gms/common.py:204-208); here we save the params pytree plus a spec
+    (class name + config) and reload via arbiters.load_arbiter."""
+
+    is_arbiter = True
+
+    def save(self, path, test_x=None, test_y=None):
+        import pickle
+
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        payload = {
+            'class_name': type(self).__name__,
+            'G': {k: str(v) if isinstance(v, Path) else v for k, v in self.G.items()},
+            'params': serialization.to_bytes(jax.device_get(self.state.params)),
+        }
+        with open(path / 'model.jit.pt', 'wb') as f:
+            pickle.dump(payload, f)

@@ -1,0 +1,213 @@
+"""DiffusionModel harness layer (reference: gms/diffusion/diffusion_model.py):
+SimpleUnet + GaussianDiffusion, classifier-free label dropout, optional
+progressive-distillation teacher (student initialized from frozen teacher
+weights), seeded evaluate with z / x_hat / eps_hat chain videos.
+
+TPU-native: bf16 UNet compute replaces fp16 AMP+GradScaler; the 250-step
+sampling chain is a single jitted lax.scan; the teacher's frozen params ride
+in state.extra so the whole distillation step is one jit.
+"""
+
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from generative_models_tpu.models.base import GM, TrainState
+from generative_models_tpu.models.diffusion.gaussian_diffusion import GaussianDiffusion
+from generative_models_tpu.models.diffusion.unet import SimpleUnet
+from generative_models_tpu.utils import register, write_grid, write_gridvid
+from generative_models_tpu.utils.config import AttrDict
+
+
+@register
+class DiffusionModel(GM):
+    DG = AttrDict()
+    DG.binarize = 0
+    DG.timesteps = 250
+    DG.hidden_size = 128
+    DG.dropout = 0.0
+    DG.sampler = 'ddim'
+    DG.mean_type = 'v'
+    DG.eval_heavy = 1
+    DG.class_cond = 1
+    DG.sample_cond_w = -1.0
+    DG.cf_drop_prob = 0.1
+    DG.teacher_path = Path('.')
+    DG.teacher_mode = 'step1'
+    DG.lr_scheduler = 'none'
+    DG.bf16 = 1  # bf16 compute (TPU AMP equivalent)
+
+    def __init__(self, G):
+        self.size = 32 if G.get('pad32', 0) else 28
+        self.has_teacher = (
+            G.teacher_path != Path('.') and G.weights_from == Path('.')
+        )
+        self.diffusion = GaussianDiffusion(
+            mean_type=G.mean_type,
+            num_steps=G.timesteps,
+            sampler=G.sampler,
+            has_teacher=self.has_teacher,
+            teacher_mode=G.teacher_mode,
+            sample_cond_w=G.sample_cond_w,
+        )
+        super().__init__(G)
+        if self.has_teacher:
+            self._load_teacher(G.teacher_path)
+        self._jit_sample = jax.jit(self.sample_fn, static_argnums=1)
+        self._jit_sample_chain = jax.jit(self.sample_chain_fn)
+
+    def build(self):
+        return SimpleUnet(
+            channels=self.G.hidden_size,
+            dropout=self.G.dropout,
+            out_channels=2 if self.G.mean_type == 'both' else 1,
+            dtype=jnp.bfloat16 if self.G.get('bf16', 1) else jnp.float32,
+        )
+
+    def init_params(self, rng):
+        x = jnp.zeros((1, self.size, self.size, 1), jnp.float32)
+        return self.net.init(
+            rng, x, jnp.zeros((1,)), guide=jnp.zeros((1,), jnp.int32),
+            cond_w=jnp.zeros((1,)) if self.has_teacher else None, train=False,
+        )['params']
+
+    def init_state(self, rng):
+        state = super().init_state(rng)
+        if self.has_teacher:
+            # placeholder; real teacher weights loaded in _load_teacher
+            state = state.replace(extra={'teacher': state.params})
+        return state
+
+    def _load_teacher(self, path):
+        """Initialize student from teacher weights and freeze a copy
+        (reference diffusion_model.py:34-45)."""
+        print('Loading teacher model')
+        path = Path(path)
+        if path.is_dir():
+            path = path / 'model.pt'
+        with open(path, 'rb') as f:
+            restored = serialization.msgpack_restore(f.read())
+        # strict=False merge: a step1 student adds cond_w_embed params the
+        # teacher never had; those stay at init (reference loads the teacher
+        # with strict=False then copies the merged dict into teacher_net,
+        # diffusion_model.py:37-40)
+        from generative_models_tpu.models.base import merge_pytree
+
+        teacher_params = merge_pytree(
+            jax.device_get(self.state.params), restored['params']
+        )
+        from generative_models_tpu.parallel import replicate
+
+        self.state = replicate(
+            jax.device_get(self.state).replace(
+                params=teacher_params, extra={'teacher': teacher_params}
+            )
+        )
+
+    # ---------------------------------------------------------------- #
+    def _make_net(self, params, guide, train=False, rng=None):
+        """Closure net(z, logsnr, cond_w=None, uncond=False) for the
+        diffusion core."""
+
+        def net(z, logsnr, cond_w=None, uncond=False):
+            logsnr = jnp.broadcast_to(
+                jnp.asarray(logsnr, jnp.float32), (z.shape[0],)
+            )
+            g = -jnp.ones_like(guide) if uncond else guide
+            if cond_w is not None:
+                cond_w = jnp.broadcast_to(
+                    jnp.asarray(cond_w, jnp.float32), (z.shape[0],)
+                )
+            rngs = {'dropout': rng} if (train and rng is not None) else None
+            return self.net.apply(
+                {'params': params}, z, logsnr, guide=g, cond_w=cond_w,
+                train=train, rngs=rngs,
+            )
+
+        return net
+
+    def loss(self, params, x, y, rng, train=True, teacher_params=None):
+        rng_drop, rng_loss, rng_net = jax.random.split(rng, 3)
+        # classifier-free label dropout (reference diffusion_model.py:67)
+        drop = jax.random.uniform(rng_drop, y.shape) < self.G.cf_drop_prob
+        y = jnp.where(drop, -1, y) if train else y
+        net = self._make_net(params, y, train=train, rng=rng_net)
+        teacher_net = None
+        if teacher_params is not None:
+            teacher_net = self._make_net(teacher_params, y, train=False)
+        losses = self.diffusion.training_losses(
+            net=net, x=x, rng=rng_loss, teacher_net=teacher_net
+        )
+        loss = losses['loss'].mean()
+        return loss, {'loss': loss}
+
+    def train_step_fn(self, state, x, y):
+        from generative_models_tpu.parallel import constrain_batch
+
+        x = constrain_batch(x)
+        rng = jax.random.fold_in(state.rng, state.step)
+        teacher = state.extra['teacher'] if self.has_teacher else None
+        (_, metrics), grads = jax.value_and_grad(self.loss, has_aux=True)(
+            state.params, x, y, rng, True, teacher
+        )
+        updates, opt_state = self.make_optimizer().update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    def loss_metrics_fn(self, state, x, y):
+        rng = jax.random.fold_in(state.rng, self.EVAL_RNG_TAG)
+        teacher = state.extra['teacher'] if self.has_teacher else None
+        _, metrics = self.loss(state.params, x, y, rng, False, teacher)
+        return metrics
+
+    # ---------------------------------------------------------------- #
+    def sample_chain_fn(self, state, noise, y, rng, cond_w=None):
+        net = self._make_net(state.params, y)
+        teacher_net = None
+        if self.has_teacher:
+            teacher_net = self._make_net(state.extra['teacher'], y)
+        return self.diffusion.sample(
+            net=net, init_x=noise, rng=rng, cond_w=cond_w, teacher_net=teacher_net
+        )
+
+    def sample_fn(self, state, n, y, rng):
+        noise = jax.random.normal(rng, (n, self.size, self.size, 1))
+        zs, _, _ = self.sample_chain_fn(state, noise, y, rng, cond_w=0.5)
+        return zs[-1]
+
+    def sample(self, n, y=None):
+        if y is None:
+            y = -jnp.ones((n,), jnp.int32)
+        y = jnp.asarray(y, jnp.int32)
+        return self._jit_sample(self.state, n, y, self.next_rng())
+
+    def evaluate(self, writer, x, y, epoch):
+        """Seeded 25-sample grid + z / x_hat / eps_hat chain videos
+        (reference diffusion_model.py:89-111)."""
+
+        def proc(v):
+            v = jnp.clip((v + 1) * 127.5, 0, 255).astype(jnp.uint8)
+            if self.G.get('pad32', 0):
+                v = v[..., 2:-2, 2:-2, :]
+            return v
+
+        key = jax.random.key(0)  # fixed seed (reference diffusion_model.py:99)
+        noise = jax.random.normal(key, (25, self.size, self.size, 1))
+        labels = jnp.arange(25, dtype=jnp.int32) % 10
+        zs, xs, eps = self._jit_sample_chain(self.state, noise, labels, key)
+        zs, xs, eps = proc(zs), proc(xs), proc(eps)
+        write_grid(writer, 'samples', zs[-1], epoch)
+        ld = self.G.logdir
+        write_gridvid(writer, 'sampling_process', zs, epoch, logdir=ld)
+        write_gridvid(writer, 'diffusion_model/eps', eps, epoch, logdir=ld)
+        write_gridvid(writer, 'diffusion_model/x', xs, epoch, logdir=ld)

@@ -1,0 +1,209 @@
+"""PixelTransformer: minGPT-style decoder-only transformer over 784 pixel
+tokens (reference: gms/autoregs/pixel_transformer.py) or 49 VQ code tokens
+(used as the VQ-VAE prior).
+
+TPU-native: attention is the blockwise-causal flash Pallas kernel
+(ops/attention.py) instead of a materialized 784x784 mask; sampling carries a
+KV cache through one lax.scan (the reference re-runs the full transformer per
+token with no cache, pixel_transformer.py:59-71 — O(T^2) forwards).
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from generative_models_tpu.models.base import Autoreg
+from generative_models_tpu.ops.attention import causal_attention, decode_step_attention
+from generative_models_tpu.utils import dists, register
+from generative_models_tpu.utils.config import AttrDict
+
+
+class CausalSelfAttention(nn.Module):
+    n_embed: int
+    n_head: int
+    use_pallas: bool = True
+
+    def setup(self):
+        self.query = nn.Dense(self.n_embed)
+        self.key = nn.Dense(self.n_embed)
+        self.value = nn.Dense(self.n_embed)
+        self.proj = nn.Dense(self.n_embed)
+
+    def _heads(self, x):
+        B, T, _ = x.shape
+        return x.reshape(B, T, self.n_head, -1).transpose(0, 2, 1, 3)
+
+    def __call__(self, x):
+        q, k, v = self._heads(self.query(x)), self._heads(self.key(x)), self._heads(self.value(x))
+        y = causal_attention(q, k, v, self.use_pallas)
+        B, H, T, D = y.shape
+        return self.proj(y.transpose(0, 2, 1, 3).reshape(B, T, H * D))
+
+    def step(self, x_t, k_cache, v_cache, t):
+        """x_t: (B, C); caches: (B, H, T, D); returns (y_t, k_cache, v_cache)."""
+        B = x_t.shape[0]
+        to_h = lambda u: u.reshape(B, self.n_head, -1)
+        q = to_h(self.query(x_t))
+        k = to_h(self.key(x_t))
+        v = to_h(self.value(x_t))
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k[:, :, None], (0, 0, t, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v[:, :, None], (0, 0, t, 0))
+        y = decode_step_attention(q, k_cache, v_cache, t)
+        return self.proj(y.reshape(B, -1)), k_cache, v_cache
+
+
+class Block(nn.Module):
+    """pre-LN attention + MLP (reference pixel_transformer.py:125-142)."""
+
+    n_embed: int
+    n_head: int
+    use_pallas: bool = True
+
+    def setup(self):
+        self.ln1 = nn.LayerNorm()
+        self.ln2 = nn.LayerNorm()
+        self.attn = CausalSelfAttention(self.n_embed, self.n_head, self.use_pallas)
+        self.fc1 = nn.Dense(4 * self.n_embed)
+        self.fc2 = nn.Dense(self.n_embed)
+
+    def _mlp(self, x):
+        return self.fc2(nn.gelu(self.fc1(x)))
+
+    def __call__(self, x):
+        x = x + self.attn(self.ln1(x))
+        x = x + self._mlp(self.ln2(x))
+        return x
+
+    def step(self, x_t, k_cache, v_cache, t):
+        a, k_cache, v_cache = self.attn.step(self.ln1(x_t), k_cache, v_cache, t)
+        x_t = x_t + a
+        x_t = x_t + self._mlp(self.ln2(x_t))
+        return x_t, k_cache, v_cache
+
+
+class TransformerNet(nn.Module):
+    """Decoder-only transformer with Binary or Categorical head. The input is
+    right-shifted INSIDE __call__ (reference pixel_transformer.py:50)."""
+
+    in_size: int
+    block_size: int
+    n_embed: int
+    n_head: int
+    n_layer: int
+    head: str = 'bin'  # 'bin' | 'cat'
+    use_pallas: bool = True
+
+    def setup(self):
+        self.pos_emb = self.param(
+            'pos_emb', nn.initializers.zeros, (1, self.block_size, self.n_embed)
+        )
+        self.embed = nn.Dense(self.n_embed, use_bias=False)
+        self.blocks = [
+            Block(self.n_embed, self.n_head, self.use_pallas, name=f'block{i}')
+            for i in range(self.n_layer)
+        ]
+        self.ln_f = nn.LayerNorm()
+        self.head_layer = nn.Dense(self.in_size)
+
+    def dist(self, logits):
+        if self.head == 'bin':
+            return dists.Bernoulli(logits=logits)
+        return dists.Categorical(logits=logits)
+
+    def __call__(self, x):
+        """x: (B, T, in_size) UNSHIFTED targets; returns the dist over x."""
+        B, T, C = x.shape
+        x = jnp.concatenate([jnp.zeros((B, 1, C), x.dtype), x[:, :-1]], axis=1)
+        h = self.embed(x) + self.pos_emb[:, :T]
+        for block in self.blocks:
+            h = block(h)
+        return self.dist(self.head_layer(self.ln_f(h)))
+
+    def init_cache(self, batch):
+        d = self.n_embed // self.n_head
+        return [
+            (
+                jnp.zeros((batch, self.n_head, self.block_size, d)),
+                jnp.zeros((batch, self.n_head, self.block_size, d)),
+            )
+            for _ in range(self.n_layer)
+        ]
+
+    def decode_step(self, prev_token, caches, t):
+        """prev_token: (B, in_size) (zeros at t=0); returns (logits_t, caches)."""
+        h = self.embed(prev_token) + self.pos_emb[0, t]
+        new_caches = []
+        for block, (kc, vc) in zip(self.blocks, caches):
+            h, kc, vc = block.step(h, kc, vc, t)
+            new_caches.append((kc, vc))
+        return self.head_layer(self.ln_f(h)), new_caches
+
+
+def transformer_sample_scan(net, params, n, rng, sample_token):
+    """Generic KV-cached AR sampling scan shared by PixelTransformer and the
+    VQ-VAE prior. sample_token(logits, key) -> (B, in_size) token."""
+
+    def body(carry, inp):
+        prev, caches = carry
+        t, key = inp
+        logits, caches = net.apply(
+            {'params': params}, prev, caches, t, method=TransformerNet.decode_step
+        )
+        tok = sample_token(logits, key)
+        return (tok, caches), tok
+
+    caches0 = net.init_cache(n)
+    prev0 = jnp.zeros((n, net.in_size))
+    keys = jax.random.split(rng, net.block_size)
+    _, tokens = jax.lax.scan(body, (prev0, caches0), (jnp.arange(net.block_size), keys))
+    return tokens  # (T, B, in_size)
+
+
+@register
+class PixelTransformer(Autoreg):
+    DG = AttrDict()
+    DG.n_layer = 2
+    DG.n_head = 4
+    DG.n_embed = 128
+    DG.lr = 1e-3
+
+    def __init__(self, G):
+        self.side = 32 if G.get('pad32', 0) else 28
+        self.block_size = self.side * self.side
+        super().__init__(G)
+        self._jit_sample = jax.jit(self.sample_fn, static_argnums=1)
+
+    def build(self):
+        from generative_models_tpu.ops import on_tpu
+
+        return TransformerNet(
+            in_size=1,
+            block_size=self.block_size,
+            n_embed=self.G.n_embed,
+            n_head=self.G.n_head,
+            n_layer=self.G.n_layer,
+            head='bin',
+            use_pallas=on_tpu(),
+        )
+
+    def example_input(self):
+        return jnp.zeros((1, self.block_size, 1), jnp.float32)
+
+    def loss(self, params, x, y=None, rng=None, train=True):
+        x = x.reshape(x.shape[0], self.block_size, 1)
+        dist = self.net.apply({'params': params}, x)
+        loss = -dist.log_prob(x).mean()
+        return loss, {'nlogp': loss}
+
+    def sample_fn(self, state, n, rng):
+        sample_token = lambda logits, key: dists.Bernoulli(logits=logits).sample(key)
+        tokens = transformer_sample_scan(self.net, state.params, n, rng, sample_token)
+        samples = tokens.transpose(1, 0, 2).reshape(n, self.side, self.side, 1)
+        T = self.block_size
+        tri = jnp.tril(jnp.ones((T, T), tokens.dtype))
+        frames = (tri[:, :, None] * tokens[None, :, :, 0]).transpose(0, 2, 1)
+        frames = frames.reshape(T, n, self.side, self.side, 1)
+        return samples, frames
+
+    def sample(self, n):
+        return self._jit_sample(self.state, n, self.next_rng())

@@ -1,0 +1,118 @@
+"""Pallas masked-matmul kernel.
+
+TPU-native replacement for the reference's MaskedLinear
+(gms/autoregs/made.py:84-95), which materializes mask*W on every forward.
+Here the mask multiply is fused into the matmul tile loop in VMEM, so the
+masked weight never hits HBM; the custom VJP applies the mask to the weight
+gradient the same way (mathematically identical to autodiff through mask*W).
+
+Falls back to pure-XLA (still fused by XLA in practice) off-TPU; the Pallas
+path runs in interpret mode in CPU tests.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _on_tpu():
+    return jax.default_backend() == 'tpu'
+
+
+def _masked_matmul_kernel(x_ref, w_ref, m_ref, o_ref):
+    """o = x @ (w * m) for one (bm, bn) output tile; full K resident."""
+    w = w_ref[:] * m_ref[:]
+    o_ref[:] = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+
+def _mask_out_matmul_kernel(a_ref, b_ref, m_ref, o_ref):
+    """o = m * (a @ b) — used for the masked weight gradient."""
+    acc = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = acc * m_ref[:]
+
+
+def _pallas_masked_matmul(x, w, mask, *, mask_on_output=False, interpret=None):
+    """x: (B, K), w: (K, N), mask matching w (or the output if
+    mask_on_output). Returns (B, N) f32."""
+    B, K = x.shape
+    K2, N = w.shape
+    assert K == K2
+    if interpret is None:
+        interpret = not _on_tpu()
+    bm = min(_round_up(B, 8), 256)
+    bn = min(_round_up(N, 128), 512)
+    Bp, Kp, Np = _round_up(B, bm), _round_up(K, 128), _round_up(N, bn)
+    xp = jnp.pad(x, ((0, Bp - B), (0, Kp - K)))
+    wp = jnp.pad(w, ((0, Kp - K), (0, Np - N)))
+    if mask_on_output:
+        mp = jnp.pad(mask, ((0, Bp - B), (0, Np - N)))
+        kernel = _mask_out_matmul_kernel
+        m_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    else:
+        mp = jnp.pad(mask, ((0, Kp - K), (0, Np - N)))
+        kernel = _masked_matmul_kernel
+        m_spec = pl.BlockSpec((Kp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // bm, Np // bn),
+        in_specs=[
+            pl.BlockSpec((bm, Kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            m_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * Kp * Np, bytes_accessed=4 * (Bp * Kp + 2 * Kp * Np + Bp * Np),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp.astype(jnp.float32), wp.astype(jnp.float32), mp.astype(jnp.float32))
+    return out[:B, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def masked_dense(x, w, b, mask, use_pallas=True):
+    """y = x @ (w * mask) + b with the mask fused into the kernel.
+
+    x: (..., K); w: (K, N); b: (N,) or None; mask: (K, N) in {0,1}.
+    """
+    return _masked_dense_fwd(x, w, b, mask, use_pallas)[0]
+
+
+def _apply(x2d, w, mask, use_pallas):
+    if use_pallas:
+        return _pallas_masked_matmul(x2d, w, mask)
+    return x2d @ (w * mask)
+
+
+def _masked_dense_fwd(x, w, b, mask, use_pallas):
+    batch_shape = x.shape[:-1]
+    x2d = x.reshape(-1, x.shape[-1])
+    y = _apply(x2d, w, mask, use_pallas)
+    if b is not None:
+        y = y + b
+    return y.reshape(*batch_shape, w.shape[-1]), (x2d, w, mask, b is not None, batch_shape)
+
+
+def _masked_dense_bwd(use_pallas, res, g):
+    x2d, w, mask, has_b, batch_shape = res
+    g2d = g.reshape(-1, g.shape[-1])
+    if use_pallas:
+        dx = _pallas_masked_matmul(g2d, w.T, mask.T)
+        dw = _pallas_masked_matmul(x2d.T, g2d, mask, mask_on_output=True)
+    else:
+        dx = g2d @ (w * mask).T
+        dw = mask * (x2d.T @ g2d)
+    db = g2d.sum(0) if has_b else None
+    return dx.reshape(*batch_shape, x2d.shape[-1]), dw, db, None
+
+
+masked_dense.defvjp(_masked_dense_fwd, _masked_dense_bwd)

@@ -1,0 +1,106 @@
+"""Device mesh + sharding layer.
+
+The reference has no distributed code at all (gms/main.py:24 picks one CUDA
+device). Here parallelism is a first-class subsystem: a jax.sharding.Mesh is
+constructed once from the --mesh flag (e.g. 'data:8' or 'data:4,model:2'),
+batches are sharded over the 'data' axis, params are replicated (or sharded
+over 'model' by models that opt in), and XLA/GSPMD inserts the ICI
+collectives. Multi-host runs go through jax.distributed.initialize.
+"""
+
+import math
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+SEQ_AXIS = 'seq'
+
+_GLOBAL_MESH = None
+
+
+def parse_mesh_spec(spec, n_devices):
+    """'data:4,model:2' -> (('data', 4), ('model', 2)). '' -> all devices on
+    the data axis."""
+    if not spec:
+        return ((DATA_AXIS, n_devices),)
+    axes = []
+    for part in spec.split(','):
+        name, size = part.split(':')
+        axes.append((name.strip(), int(size)))
+    total = math.prod(s for _, s in axes)
+    assert total == n_devices, f'mesh {spec} needs {total} devices, have {n_devices}'
+    return tuple(axes)
+
+
+def make_mesh(spec='', devices=None):
+    """Build a Mesh over the given devices (default: all)."""
+    devices = devices if devices is not None else jax.devices()
+    axes = parse_mesh_spec(spec, len(devices))
+    names = tuple(n for n, _ in axes)
+    sizes = tuple(s for _, s in axes)
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, names)
+
+
+def get_mesh(spec=''):
+    """Process-global mesh (built lazily on first use)."""
+    global _GLOBAL_MESH
+    if _GLOBAL_MESH is None:
+        _GLOBAL_MESH = make_mesh(spec)
+    return _GLOBAL_MESH
+
+
+def set_mesh(mesh):
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def batch_sharding(mesh=None, ndim=4):
+    """NamedSharding that splits axis 0 (batch) over the data axis and
+    replicates the rest."""
+    mesh = mesh or get_mesh()
+    if DATA_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    return NamedSharding(mesh, P(*([None] * ndim)))
+
+
+def replicated(mesh=None):
+    mesh = mesh or get_mesh()
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh=None):
+    """Place a batch pytree with its leading axis sharded over 'data'."""
+    mesh = mesh or get_mesh()
+
+    def _shard(x):
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(_shard, batch)
+
+
+def replicate(tree, mesh=None):
+    mesh = mesh or get_mesh()
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def constrain_batch(x, mesh=None):
+    """with_sharding_constraint pinning axis 0 to the data axis; call inside
+    jitted train steps to keep GSPMD from gathering the batch."""
+    mesh = mesh or get_mesh()
+    if DATA_AXIS not in mesh.axis_names:
+        return x
+    spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def maybe_initialize_distributed():
+    """Multi-host (DCN) init — no-op unless the standard cluster env vars are
+    present. Single-process runs (tests, one chip) skip this."""
+    if os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        jax.distributed.initialize()

@@ -1,0 +1,124 @@
+"""Config system: AttrDict + per-model DG defaults + two-phase argparse +
+hps.yaml round-trip.
+
+API-compatible with the reference config UX (reference: gms/common.py:24-26,
+gms/common.py:85-92, gms/main.py:20-77): `--model=<name>` selects the model,
+whose class-level `DG` dict contributes additional flags; `--weights_from`
+reloads the full config from the run's sibling hps.yaml.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import yaml
+
+
+class AttrDict(dict):
+    """dict with attribute access (reference: gms/common.py:24-26)."""
+
+    __setattr__ = dict.__setitem__
+    __getattr__ = dict.__getitem__
+
+
+def prefix_dict(name, d):
+    return {name + key: d[key] for key in d}
+
+
+def args_type(default):
+    """Coerce CLI strings the same way the reference does
+    (reference: gms/common.py:85-92): bools parse 'False'/'True', ints
+    promote to float when the string looks float-y, Paths expanduser."""
+    if isinstance(default, bool):
+        return lambda x: bool(['False', 'True'].index(x))
+    if isinstance(default, int):
+        return lambda x: float(x) if ('e' in x or '.' in x) else int(x)
+    if isinstance(default, Path):
+        return lambda x: Path(x).expanduser()
+    return type(default)
+
+
+def global_defaults():
+    """Global default config (reference: gms/main.py:20-40), plus TPU-native
+    additions: seed (explicit RNG threading), jit_epoch (scan the whole epoch
+    inside one jit), num_devices/mesh_axes (parallelism layer)."""
+    DG = AttrDict()
+    DG.model = 'vae'
+    DG.bs = 64
+    DG.hidden_size = 256
+    DG.device = 'tpu'  # jax platform; reference default was 'cuda'
+    DG.epochs = 50
+    DG.save_n = 5
+    DG.logdir = Path('./logs/')
+    DG.lr = 3e-4
+    DG.class_cond = 0
+    DG.binarize = 1
+    DG.pad32 = 0
+    DG.mode = 'train'
+    DG.weights_from = Path('.')
+    DG.autoencoder = Path('./weights/autoencoder.pt')
+    DG.classifier = Path('./weights/classifier.pt')
+    DG.eval_heavy = 0
+    DG.skip_training = 0
+    # --- TPU-native extensions (not in the reference) ---
+    DG.seed = 0
+    DG.jit_epoch = 1          # scan all steps of an epoch inside one jit
+    DG.data_source = 'auto'   # 'auto' | 'mnist' | 'digits' | 'synthetic'
+    DG.data_dir = Path('./data/')
+    DG.mesh = ''              # e.g. 'data:8' or 'data:4,model:2'; '' = all-data
+    DG.profile = 0            # emit jax.profiler traces into logdir
+    return DG
+
+
+def parse_args(argv=None, discover_models=None, DG=None):
+    """Two-phase CLI parse (reference: gms/main.py:43-77).
+
+    Phase 1 parses the global defaults to learn --model / --weights_from.
+    Phase 2 adds the model's DG (or the hps.yaml of the weights_from run)
+    and re-parses everything.
+    Returns (G, Model).
+    """
+    if argv is None:
+        argv = sys.argv[1:]
+    if DG is None:
+        DG = global_defaults()
+    parser = argparse.ArgumentParser()
+    for key, value in DG.items():
+        parser.add_argument(f'--{key}', type=args_type(value), default=value)
+    tempG, _ = parser.parse_known_args(argv)
+
+    defaults = {}
+    if tempG.weights_from != Path('.'):
+        loaded_hp_file = Path(tempG.weights_from).parent / 'hps.yaml'
+        with open(loaded_hp_file) as f:
+            loadedG = AttrDict(yaml.load(f, Loader=yaml.Loader))
+        for key, value in loadedG.items():
+            defaults[key] = value
+            if key not in tempG:
+                parser.add_argument(f'--{key}', type=args_type(value), default=value)
+        Model = discover_models()[loadedG.model]
+    else:
+        Model = discover_models()[tempG.model]
+        for key, value in Model.DG.items():
+            defaults[key] = value
+            if key not in tempG:
+                parser.add_argument(f'--{key}', type=args_type(value), default=value)
+        defaults['logdir'] = Path(tempG.logdir) / tempG.model
+
+    defaults.pop('full_cmd', None)
+    defaults.pop('commit_hash', None)
+    parser.set_defaults(**defaults)
+    G = AttrDict(parser.parse_args(argv).__dict__)
+    return G, Model
+
+
+def dump_hps(G, logdir=None):
+    """Write hps.yaml so runs can be resumed with --weights_from
+    (reference: gms/common.py:73-79)."""
+    logdir = Path(logdir or G.logdir)
+    logdir.mkdir(parents=True, exist_ok=True)
+    dumpable = {}
+    for k, v in G.items():
+        dumpable[k] = str(v) if isinstance(v, Path) else v
+    with open(logdir / 'hps.yaml', 'w') as f:
+        yaml.dump(dumpable, f, width=float('inf'))

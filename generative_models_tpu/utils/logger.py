@@ -1,0 +1,143 @@
+"""Metrics logging + visualization sink.
+
+Same conventions as the reference (gms/common.py:65-82, 177-193, 246-264):
+buffered per-epoch scalar lists flushed by dump_logger (mean -> TensorBoard +
+stdout + hps.yaml dump), 5x5 sample grids, sampling-process videos, recon
+strips. TPU-native differences:
+  * metrics stay on device until the per-epoch flush (the reference pulls
+    every step, gms/main.py:215 — a throughput killer);
+  * videos are written as GIF files via imageio (plus a TB filmstrip image),
+    since moviepy (the TB add_video backend) is not available;
+  * images are NHWC (TPU-native layout); converted at the TB boundary.
+"""
+
+import subprocess
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+import jax
+import numpy as np
+import yaml
+
+try:
+    import imageio.v2 as imageio
+except ImportError:  # pragma: no cover
+    imageio = None
+
+
+def make_logger():
+    return defaultdict(list)
+
+
+def to_numpy(x):
+    if isinstance(x, jax.Array):
+        return np.asarray(jax.device_get(x))
+    return np.asarray(x)
+
+
+def dump_logger(logger, writer, i, G):
+    """Flush buffered metrics: mean each list -> TB scalar + stdout, record
+    full_cmd + commit_hash, dump hps.yaml (reference: gms/common.py:65-82)."""
+    print('=' * 30)
+    print(i)
+    # one host sync for everything buffered this epoch
+    host_logger = jax.device_get({k: v for k, v in logger.items()})
+    for key, val in host_logger.items():
+        mean_val = float(np.mean([np.mean(np.asarray(v)) for v in val])) if isinstance(val, list) else float(np.mean(val))
+        if writer is not None:
+            writer.add_scalar(key, mean_val, i)
+        print(key, mean_val)
+    G.full_cmd = 'python ' + ' '.join(sys.argv)
+    try:
+        G.commit_hash = (
+            subprocess.check_output(['git', 'rev-parse', 'HEAD'], cwd=Path(__file__).parent)
+            .decode('ascii')
+            .strip()
+        )
+    except Exception:
+        G.commit_hash = 'unknown'
+    from generative_models_tpu.utils.config import dump_hps
+
+    dump_hps(G)
+    print(G.full_cmd)
+    print('=' * 30)
+    if writer is not None:
+        writer.flush()
+    return make_logger()
+
+
+def _to_hwc_uint8(x):
+    """(H, W, C) float in [0,1] or uint8 -> uint8 HWC with 1->3 channels."""
+    x = to_numpy(x)
+    if x.dtype != np.uint8:
+        x = (np.clip(x, 0.0, 1.0) * 255).astype(np.uint8)
+    if x.shape[-1] == 1:
+        x = np.repeat(x, 3, axis=-1)
+    return x
+
+
+def grid_image(x, n1=5, n2=5):
+    """(n1*n2, H, W, C) -> (n1*H, n2*W, C) tiled image."""
+    x = to_numpy(x)
+    n, h, w, c = x.shape
+    assert n == n1 * n2, (n, n1, n2)
+    return x.reshape(n1, n2, h, w, c).transpose(0, 2, 1, 3, 4).reshape(n1 * h, n2 * w, c)
+
+
+def write_grid(writer, tag, x, epoch):
+    """5x5 grid of 25 (28,28,1) samples (reference: gms/common.py:177-180;
+    NHWC here instead of NCHW)."""
+    assert tuple(x.shape) == (25, 28, 28, 1) or tuple(x.shape) == (25, 32, 32, 1), x.shape
+    img = _to_hwc_uint8(grid_image(x))
+    if writer is not None:
+        writer.add_image(tag, img, epoch, dataformats='HWC')
+
+
+def write_gridvid(writer, tag, x, epoch, logdir=None):
+    """(T, 25, H, W, C) sampling-process video (reference:
+    gms/common.py:183-193). Saved as an animated GIF next to the TB logs plus
+    a subsampled filmstrip image inside TB itself."""
+    x = to_numpy(x)
+    T = x.shape[0]
+    frames = [_to_hwc_uint8(grid_image(x[t])) for t in range(T)]
+    fps = max(1, min(T // 3, 60))
+    if logdir is not None and imageio is not None:
+        gif_dir = Path(logdir)
+        gif_dir.mkdir(parents=True, exist_ok=True)
+        safe_tag = tag.replace('/', '_')
+        imageio.mimsave(
+            gif_dir / f'{safe_tag}_{epoch}.gif', frames, duration=1000.0 / fps, loop=0
+        )
+    if writer is not None:
+        # filmstrip: 8 evenly spaced frames side by side
+        idxs = np.linspace(0, T - 1, num=min(8, T)).astype(int)
+        strip = np.concatenate([frames[i] for i in idxs], axis=1)
+        writer.add_image(tag, strip, epoch, dataformats='HWC')
+
+
+def combine_imgs(arr, row=5, col=5):
+    """Batch of images (B,H,W,C) or videos (B,T,H,W,C) -> tiled 2-D canvas
+    (reference: gms/common.py:246-264)."""
+    arr = to_numpy(arr)
+    if arr.ndim == 4:
+        bs, h, w, _ = arr.shape
+        assert bs == row * col, (bs, row, col)
+        return arr.reshape(row, col, h, w, -1).transpose(0, 2, 1, 3, 4).reshape(row * h, col * w, -1)
+    elif arr.ndim == 5:
+        bs, t, h, w, _ = arr.shape
+        assert bs == row * col, (bs, row, col)
+        x = arr.reshape(row, col, t, h, w, -1)
+        x = x.transpose(2, 0, 3, 1, 4, 5)  # t, row, h, col, w, c
+        return x.reshape(t, row * h, col * w, -1)
+    raise NotImplementedError(arr.shape)
+
+
+def write_image(writer, tag, img_hw_or_hwc, epoch):
+    img = _to_hwc_uint8(img_hw_or_hwc if img_hw_or_hwc.ndim == 3 else img_hw_or_hwc[..., None])
+    if writer is not None:
+        writer.add_image(tag, img, epoch, dataformats='HWC')
+
+
+def count_vars(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,58 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from generative_models_tpu.ops.quantize import vq_one_hot, vq_quantize
+
+
+def test_pallas_one_hot_matches_xla():
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(rng.randn(50, 16), jnp.float32)
+    cb = jnp.asarray(rng.randn(24, 16), jnp.float32)
+    oh_p = vq_one_hot(z, cb, use_pallas=True)  # interpret mode on CPU
+    oh_x = vq_one_hot(z, cb, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(oh_p), np.asarray(oh_x))
+    assert np.all(np.asarray(oh_p).sum(-1) == 1.0)
+
+
+def test_nearest_neighbor_correct():
+    cb = jnp.asarray([[0.0, 0.0], [1.0, 1.0], [-1.0, 2.0]], jnp.float32)
+    z = jnp.asarray([[0.1, -0.1], [0.9, 1.2], [-0.8, 1.7]], jnp.float32)
+    oh = vq_one_hot(z, cb, use_pallas=False)
+    np.testing.assert_array_equal(np.argmax(np.asarray(oh), -1), [0, 1, 2])
+
+
+def test_straight_through_gradient():
+    """d loss/d z must flow through z_q as identity (straight-through)."""
+    rng = np.random.RandomState(1)
+    z = jnp.asarray(rng.randn(2, 4, 4, 8), jnp.float32)
+    cb = jnp.asarray(rng.randn(16, 8), jnp.float32)
+
+    def recon_loss(z):
+        _, z_q, _, _, _ = vq_quantize(z, cb, beta=0.25, use_pallas=False)
+        return jnp.sum(z_q * 2.0)
+
+    g = jax.grad(recon_loss)(z)
+    np.testing.assert_allclose(np.asarray(g), 2.0 * np.ones_like(g), atol=1e-6)
+
+
+def test_codebook_gradient_through_commitment():
+    rng = np.random.RandomState(2)
+    z = jnp.asarray(rng.randn(2, 4, 4, 8), jnp.float32)
+    cb = jnp.asarray(rng.randn(16, 8), jnp.float32)
+
+    def embed_loss(cb):
+        loss, _, _, _, _ = vq_quantize(z, cb, beta=0.25, use_pallas=False)
+        return loss
+
+    g = jax.grad(embed_loss)(cb)
+    assert np.any(np.asarray(g) != 0.0)
+
+
+def test_perplexity_bounds():
+    rng = np.random.RandomState(3)
+    z = jnp.asarray(rng.randn(4, 7, 7, 8), jnp.float32)
+    cb = jnp.asarray(rng.randn(16, 8), jnp.float32)
+    _, _, perplexity, idxs, _ = vq_quantize(z, cb, beta=0.25, use_pallas=False)
+    assert 1.0 <= float(perplexity) <= 16.0
+    assert idxs.shape == (4, 7, 7)
