@@ -35,6 +35,9 @@ class AENet(nn.Module):
         # autoencoder.py:99-102)
         return jax.nn.sigmoid(x) if self.binarize else jnp.tanh(x)
 
+    def reconstruct(self, x):
+        return self.decode(self.encode(x))
+
 
 @register
 class Autoencoder(Arbiter):
@@ -50,6 +53,13 @@ class Autoencoder(Arbiter):
             hidden=self.G.hidden_size,
             binarize=bool(self.G.binarize),
         )
+
+    def init_params(self, rng):
+        # init through encode+decode (__call__ is encode-only — it is the
+        # FID feature extractor)
+        return self.net.init(rng, self.example_input(), method=AENet.reconstruct)[
+            'params'
+        ]
 
     def __init__(self, G):
         super().__init__(G)

@@ -54,6 +54,10 @@ def vq_one_hot(z_flat, codebook, use_pallas=True, interpret=None):
         return jax.nn.one_hot(idx, codebook.shape[0], dtype=z_flat.dtype)
     if interpret is None:
         interpret = not _on_tpu()
+    # the argmin assignment is piecewise-constant: stop gradients at the
+    # kernel INPUTS so reverse-mode AD never tries to linearize pallas_call
+    z_flat = jax.lax.stop_gradient(z_flat)
+    codebook = jax.lax.stop_gradient(codebook)
     N, D = z_flat.shape
     K = codebook.shape[0]
     bn = min(_round_up(N, 8), 1024)
