@@ -28,14 +28,22 @@ if not CPU_REF_STEPS_PER_SEC:
     CPU_REF_STEPS_PER_SEC = 0.5  # conservative placeholder
 
 
+def _fetch(out):
+    """Hard barrier: pull real values to host (block_until_ready is not a
+    reliable barrier on the remote 'axon' platform)."""
+    return jax.device_get(
+        jax.tree_util.tree_map(lambda a: a.sum() if hasattr(a, 'sum') else a, out)
+    )
+
+
 def timeit(fn, n=20, warmup=2):
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
-    jax.block_until_ready(out)
+    _fetch(out)  # train steps chain through state, so this bounds all n
     return (time.perf_counter() - t0) / n
 
 
