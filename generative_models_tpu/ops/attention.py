@@ -76,13 +76,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bq, bk, n_kv, scale):
     o_ref[0] = acc / jnp.maximum(l, 1e-30)
 
 
-def _flash_forward(q, k, v, bq=128, bk=128, interpret=None):
-    """(BH, T, D) padded inputs -> (BH, T, D)."""
+def _flash_forward(q, k, v, scale, bq=128, bk=128, interpret=None):
+    """(BH, T, D) padded inputs -> (BH, T, D). `scale` must come from the
+    TRUE head dim (the last axis here is zero-padded to the lane width)."""
     if interpret is None:
         interpret = not _on_tpu()
     BH, T, D = q.shape
     n_kv = T // bk
-    scale = 1.0 / np.sqrt(D)
     kernel = functools.partial(_flash_kernel, bq=bq, bk=bk, n_kv=n_kv, scale=scale)
     return pl.pallas_call(
         kernel,
@@ -124,7 +124,7 @@ def _pallas_call_4d(q, k, v):
         x.reshape(B * H, T, D).astype(jnp.float32),
         ((0, 0), (0, Tp - T), (0, Dp - D)),
     )
-    out = _flash_forward(pad(q), pad(k), pad(v))
+    out = _flash_forward(pad(q), pad(k), pad(v), scale=1.0 / np.sqrt(D))
     # padded keys beyond T are only attendable from padded queries (causal),
     # so valid rows are exact
     return out[:, :T, :D].reshape(B, H, T, D)

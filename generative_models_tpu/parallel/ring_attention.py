@@ -48,9 +48,11 @@ def _local_ring_attention(q, k, v, axis_name):
         vv = jax.lax.ppermute(vv, axis_name, perm)
         return (acc, m_new, l_new, kk, vv), None
 
-    acc0 = jnp.zeros((B, H, Tl, D), jnp.float32)
-    m0 = jnp.full((B, H, Tl, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((B, H, Tl, 1), jnp.float32)
+    # derive carries from q so they inherit the shard_map varying ('seq')
+    # axis — fresh zeros would mismatch the rotated k/v carry types
+    acc0 = jnp.zeros_like(q)
+    m0 = jnp.full_like(q[..., :1], NEG_INF)
+    l0 = jnp.zeros_like(q[..., :1])
     (acc, _, l, _, _), _ = jax.lax.scan(
         step, (acc0, m0, l0, k, v), jnp.arange(n)
     )

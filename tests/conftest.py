@@ -1,16 +1,88 @@
 """Test config: run everything on a virtual 8-device CPU mesh.
 
 This is the JAX-native 'fake backend' (SURVEY.md §4): sharding/mesh logic is
-exercised for real without TPU hardware. Must run before jax initializes."""
+exercised for real without TPU hardware. The container environment force-
+registers a remote single-chip TPU platform through a PYTHONPATH
+sitecustomize hook that overrides JAX_PLATFORMS, so if we detect it we
+re-exec pytest once in a cleaned environment."""
 
 import os
+import sys
+from pathlib import Path
 
-os.environ['JAX_PLATFORMS'] = 'cpu'
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
+_REPO = str(Path(__file__).resolve().parent.parent)
+
+_NEEDS_REEXEC = (
+    os.environ.get('GMT_CPU_REEXEC') != '1'
+    and '.axon_site' in os.environ.get('PYTHONPATH', '')
+)
+
+if _NEEDS_REEXEC:
+    # Re-exec pytest in a cleaned env (CPU x8 virtual devices): the container
+    # force-registers a remote single-chip TPU backend via a PYTHONPATH
+    # sitecustomize hook that overrides JAX_PLATFORMS. pytest's fd capture is
+    # already active while this conftest loads, so first point fd 1/2 back at
+    # the real stdout/stderr: pytest saved the originals as dup'd fds — find
+    # them (pipes/ttys among open fds, where the capture files are regular
+    # temp files) and dup2 them back.
+    import stat
+
+    def _restore_std_fds():
+        import fcntl
+
+        candidates = []
+        for fd in range(3, 64):
+            try:
+                st = os.fstat(fd)
+                flags = fcntl.fcntl(fd, fcntl.F_GETFL)
+            except OSError:
+                continue
+            writable = (flags & os.O_ACCMODE) in (os.O_WRONLY, os.O_RDWR)
+            # pytest's capture targets are unlinked TemporaryFiles
+            # (st_nlink == 0); a real stdout is a pipe/tty/socket or a
+            # still-linked regular file (shell redirect)
+            real_file = stat.S_ISREG(st.st_mode) and st.st_nlink > 0
+            if writable and (
+                stat.S_ISFIFO(st.st_mode)
+                or stat.S_ISCHR(st.st_mode)
+                or stat.S_ISSOCK(st.st_mode)
+                or real_file
+            ):
+                candidates.append(fd)
+        if candidates:
+            out = candidates[0]
+            err = candidates[1] if len(candidates) > 1 else candidates[0]
+            os.dup2(out, 1)
+            os.dup2(err, 2)
+
+    try:
+        _restore_std_fds()
+    except Exception:
+        pass
+    env = dict(
+        os.environ,
+        PYTHONPATH=_REPO,
+        JAX_PLATFORMS='cpu',
+        XLA_FLAGS='--xla_force_host_platform_device_count=8',
+        GMT_CPU_REEXEC='1',
+    )
+    os.execve(
+        sys.executable, [sys.executable, '-m', 'pytest'] + sys.argv[1:], env
+    )
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8'
+        _flags + ' --xla_force_host_platform_device_count=8'
     ).strip()
+
+import jax
+
+assert jax.default_backend() == 'cpu' and len(jax.devices()) == 8, (
+    jax.default_backend(),
+    jax.devices(),
+)
 
 import pytest  # noqa: E402
 

@@ -38,17 +38,32 @@ def test_schedules_match_reference(name):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
-@needs_ref
-def test_iddpm_schedules_match_reference():
-    for kwargs, name in [
-        ({'num_timesteps': 100}, 'iddpm_cosine_interp'),
-        ({'num_timesteps': 100, 'num_respaced_timesteps': 10}, 'iddpm_cosine_respaced'),
-    ]:
-        ours = get_logsnr_schedule(name, **kwargs)
-        theirs = ref_du.get_logsnr_schedule(name, **kwargs)
-        a = np.asarray(ours(jnp.asarray(T_GRID)))
-        b = theirs(torch.tensor(T_GRID)).numpy()
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+def test_iddpm_schedules_match_formula():
+    """The reference's iddpm_* schedules call torch.interp, which does not
+    exist (dead/broken code, SURVEY.md §2 row 27) — so golden values come
+    from a direct numpy evaluation of the published formula instead."""
+    n = 100
+    steps = np.arange(n + 1, dtype=np.float64) / n
+    alpha_bar = np.cos((steps + 0.008) / 1.008 * np.pi / 2) ** 2
+    betas = np.minimum(1 - alpha_bar[1:] / alpha_bar[:-1], 0.999)
+    ac = np.cumprod(1.0 - betas)
+    logsnr = np.log(ac) - np.log1p(-ac)
+    expected = np.interp(T_GRID, np.linspace(0, 1, len(betas)), logsnr)
+    ours = get_logsnr_schedule('iddpm_cosine_interp', num_timesteps=n)
+    np.testing.assert_allclose(
+        np.asarray(ours(jnp.asarray(T_GRID))), expected, rtol=1e-3, atol=1e-3
+    )
+
+    inds = np.round(np.linspace(0, 1, 10) * (n - 1)).astype(int)
+    ac_r = np.cumprod(1.0 - betas)[inds]
+    logsnr_r = np.log(ac_r) - np.log1p(-ac_r)
+    expected_r = np.interp(T_GRID, np.linspace(0, 1, 10), logsnr_r)
+    ours_r = get_logsnr_schedule(
+        'iddpm_cosine_respaced', num_timesteps=n, num_respaced_timesteps=10
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_r(jnp.asarray(T_GRID))), expected_r, rtol=1e-3, atol=1e-3
+    )
 
 
 def test_x_eps_v_roundtrip():
@@ -110,10 +125,40 @@ def test_diffusion_reverse_matches_reference():
             logsnr_s=torch.tensor(logsnr_s), logsnr_t=torch.tensor(logsnr_t),
             x_logvar=logvar,
         )
-        for key in ['mean', 'std']:
+        np.testing.assert_allclose(
+            np.asarray(ours['mean']), theirs['mean'].numpy(), rtol=1e-4,
+            atol=1e-5, err_msg=f'{logvar}/mean',
+        )
+        if logvar == 'medium:0.3':
+            # reference bug (consciously fixed here): it calls
+            # log1mexp(logsnr_s - logsnr_t) — a POSITIVE input — with an
+            # implementation expecting log(1-e^x) for x<0, so its logvar
+            # (and medium-mode std) is NaN; ours uses the equivalent
+            # negative-argument form and stays finite.
+            assert np.all(np.isnan(theirs['std'].numpy()))
+            assert np.all(np.isfinite(np.asarray(ours['std'])))
+            # finite cross-check: interpolate our small/large logvars
+            small = gd.diffusion_reverse(
+                x=jnp.asarray(x), z_t=jnp.asarray(z_t),
+                logsnr_s=jnp.asarray(logsnr_s), logsnr_t=jnp.asarray(logsnr_t),
+                x_logvar='small',
+            )
+            large = gd.diffusion_reverse(
+                x=jnp.asarray(x), z_t=jnp.asarray(z_t),
+                logsnr_s=jnp.asarray(logsnr_s), logsnr_t=jnp.asarray(logsnr_t),
+                x_logvar='large',
+            )
+            expect = np.exp(
+                0.3 * np.log(np.asarray(large['var']))
+                + 0.7 * np.log(np.asarray(small['var']))
+            )
             np.testing.assert_allclose(
-                np.asarray(ours[key]), theirs[key].numpy(), rtol=1e-4, atol=1e-5,
-                err_msg=f'{logvar}/{key}',
+                np.asarray(ours['var']), expect, rtol=1e-4, atol=1e-6
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(ours['std']), theirs['std'].numpy(), rtol=1e-4,
+                atol=1e-5, err_msg=f'{logvar}/std',
             )
 
 

@@ -9,23 +9,24 @@ from generative_models_tpu.utils import discover_models
 
 SMALL = [
     '--epochs=1',
-    '--bs=16',
-    '--hidden_size=32',
+    '--bs=8',
+    '--hidden_size=24',
     '--data_source=synthetic',
     '--save_n=1',
     '--eval_heavy=0',
 ]
 
-# per-model overrides to keep tiny-CPU runtimes sane
+# per-model overrides to keep tiny-CPU runtimes sane (1-core host: compile
+# time dominates, so shrink kernels/layers aggressively)
 OVERRIDES = {
-    'made': ['--hidden_size=64'],
-    'diffusion_model': ['--timesteps=4', '--hidden_size=32', '--class_cond=0'],
-    'pixel_transformer': ['--n_embed=32', '--n_layer=1'],
-    'vqvae': ['--n_embed=32', '--n_layer=1', '--vqD=16', '--vqK=16'],
-    'wavenet': ['--hidden_size=16'],
-    'pixel_cnn': ['--n_filters=16', '--n_layers=2'],
-    'gated_pixel_cnn': ['--n_filters=16', '--n_layers=3'],
-    'rnn': ['--hidden_size=32'],
+    'made': ['--hidden_size=32'],
+    'diffusion_model': ['--timesteps=2', '--hidden_size=32', '--class_cond=0'],
+    'pixel_transformer': ['--n_embed=16', '--n_layer=1', '--n_head=2'],
+    'vqvae': ['--n_embed=16', '--n_layer=1', '--n_head=2', '--vqD=16', '--vqK=16'],
+    'wavenet': ['--hidden_size=8'],
+    'pixel_cnn': ['--n_filters=8', '--n_layers=2', '--kernel_size=3'],
+    'gated_pixel_cnn': ['--n_filters=8', '--n_layers=3', '--kernel_size=3'],
+    'rnn': ['--hidden_size=16'],
 }
 
 
