@@ -53,9 +53,13 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, train=True):
+        from generative_models_tpu.parallel import constrain
+
         h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), dtype=self.dtype)(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding='SAME', dtype=self.dtype)(h)
+        # TP: channels shard over the 'model' mesh axis (no-op without one)
+        h = constrain(h, 'data', None, None, 'model')
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype)(nn.silu(emb))
         h = h + emb_out[:, None, None, :]
         h = nn.GroupNorm(num_groups=min(32, self.out_channels), dtype=self.dtype)(h)

@@ -30,8 +30,14 @@ class CausalSelfAttention(nn.Module):
         self.proj = nn.Dense(self.n_embed)
 
     def _heads(self, x):
+        from generative_models_tpu.parallel import constrain
+
         B, T, _ = x.shape
-        return x.reshape(B, T, self.n_head, -1).transpose(0, 2, 1, 3)
+        h = x.reshape(B, T, self.n_head, -1).transpose(0, 2, 1, 3)
+        # Megatron-style tensor parallelism: heads shard over the 'model'
+        # mesh axis (no-op without one); GSPMD propagates the split into the
+        # QKV/proj matmuls and inserts the ICI all-reduce after proj
+        return constrain(h, 'data', 'model', None, None)
 
     def __call__(self, x):
         q, k, v = self._heads(self.query(x)), self._heads(self.key(x)), self._heads(self.value(x))
@@ -67,7 +73,12 @@ class Block(nn.Module):
         self.fc2 = nn.Dense(self.n_embed)
 
     def _mlp(self, x):
-        return self.fc2(nn.gelu(self.fc1(x)))
+        from generative_models_tpu.parallel import constrain
+
+        # TP: the 4x hidden shards over 'model' (column-parallel fc1,
+        # row-parallel fc2)
+        h = constrain(nn.gelu(self.fc1(x)), 'data', None, 'model')
+        return self.fc2(h)
 
     def __call__(self, x):
         x = x + self.attn(self.ln1(x))

@@ -89,6 +89,23 @@ def replicate(tree, mesh=None):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def constrain(x, *axes, mesh=None):
+    """with_sharding_constraint by axis NAMES, ignoring axes the current
+    mesh doesn't have — models sprinkle these freely ('data' on batch,
+    'model' on heads/hidden features) and they become no-ops on meshes
+    without those axes (e.g. single chip)."""
+    mesh = mesh or get_mesh()
+    names = []
+    for dim, a in zip(x.shape, axes):
+        ok = a in mesh.axis_names and dim % mesh.shape[a] == 0
+        names.append(a if ok else None)  # skip non-divisible dims (e.g. init
+        # with batch 1, or sampling with odd grid sizes)
+    spec = P(*names)
+    if all(s is None for s in spec):
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def constrain_batch(x, mesh=None):
     """with_sharding_constraint pinning axis 0 to the data axis; call inside
     jitted train steps to keep GSPMD from gathering the batch."""

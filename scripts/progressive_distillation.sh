@@ -17,7 +17,7 @@ python -m generative_models_tpu.main --model=diffusion_model \
 python -m generative_models_tpu.main --model=diffusion_model \
   --timesteps=256 --epochs=$EPOCHS_STUDENT \
   --teacher_path=$LOGROOT/teacher/model.pt --teacher_mode=step1 \
-  --lr=1e-4 --logdir=$LOGROOT/step1
+  --lr=3e-4 --logdir=$LOGROOT/step1
 
 # 3) step2 chain: halve the sampling steps each stage
 PREV=$LOGROOT/step1
