@@ -36,16 +36,14 @@ _IDX_CANDIDATES = {
 
 
 def _read_idx(path):
-    """Parse an IDX file (the MNIST container format), gz or raw."""
+    """Parse an IDX file (the MNIST container format), gz or raw, via the
+    native C++ decoder (generative_models_tpu/native) with numpy fallback."""
+    from generative_models_tpu import native
+
     opener = gzip.open if str(path).endswith('.gz') else open
     with opener(path, 'rb') as f:
         data = f.read()
-    zero, dtype_code, ndim = struct.unpack('>HBB', data[:4])
-    assert zero == 0, f'bad idx magic in {path}'
-    dims = struct.unpack('>' + 'I' * ndim, data[4 : 4 + 4 * ndim])
-    dtype = {0x08: np.uint8, 0x09: np.int8, 0x0B: np.int16, 0x0C: np.int32, 0x0D: np.float32}[dtype_code]
-    arr = np.frombuffer(data[4 + 4 * ndim :], dtype=dtype.newbyteorder('>') if dtype != np.uint8 else dtype)
-    return arr.reshape(dims)
+    return native.idx_parse(data)
 
 
 def _find_idx_file(data_dir, names):
@@ -67,6 +65,7 @@ def _load_mnist_idx(data_dir):
         if p is None:
             return None
         files[key] = p
+    # native C++ IDX decode when available (generative_models_tpu/native)
     train_x = _read_idx(files['train_images']).astype(np.float32) / 255.0
     train_y = _read_idx(files['train_labels']).astype(np.int32)
     test_x = _read_idx(files['test_images']).astype(np.float32) / 255.0

@@ -97,10 +97,20 @@ def write_grid(writer, tag, x, epoch):
 def write_gridvid(writer, tag, x, epoch, logdir=None):
     """(T, 25, H, W, C) sampling-process video (reference:
     gms/common.py:183-193). Saved as an animated GIF next to the TB logs plus
-    a subsampled filmstrip image inside TB itself."""
+    a subsampled filmstrip image inside TB itself. The per-frame tiling+u8
+    conversion runs through the native C++ runtime when available (784-frame
+    stacks are the host-side viz hot path)."""
     x = to_numpy(x)
     T = x.shape[0]
-    frames = [_to_hwc_uint8(grid_image(x[t])) for t in range(T)]
+    if x.dtype != np.uint8 and x.shape[1] == 25:
+        from generative_models_tpu import native
+
+        frames = [
+            np.repeat(native.tile_grid_u8(x[t].astype(np.float32), 5, 5), 3, axis=-1)
+            for t in range(T)
+        ]
+    else:
+        frames = [_to_hwc_uint8(grid_image(x[t])) for t in range(T)]
     fps = max(1, min(T // 3, 60))
     if logdir is not None and imageio is not None:
         gif_dir = Path(logdir)
