@@ -71,6 +71,13 @@ def main():
     extra['diffusion_train_steps_per_sec'] = steps_per_sec
     extra['diffusion_train_ms_per_step'] = dt * 1e3
 
+    # real training path: the whole epoch scanned inside one jit
+    EPOCH_STEPS = 100
+    bx = jnp.asarray(rng.randn(EPOCH_STEPS, 64, 28, 28, 1), jnp.float32)
+    by = jnp.asarray(rng.randint(0, 10, (EPOCH_STEPS, 64)), jnp.int32)
+    dt_epoch = timeit(lambda: model.train_epoch(bx, by), n=3, warmup=1)
+    extra['diffusion_epoch_steps_per_sec'] = EPOCH_STEPS / dt_epoch
+
     # ---- DDPM 64-image grid sample latency (north star: < 1 s) ----
     yy = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
 
@@ -95,6 +102,10 @@ def main():
             yb = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
             dtm = timeit(lambda: m.train_step(xb, yb), n=20, warmup=3)
             extra[f'{name}_train_steps_per_sec'] = 1.0 / dtm
+            ex = jnp.broadcast_to(xb, (50, *xb.shape))
+            ey = jnp.broadcast_to(yb, (50, *yb.shape))
+            dte = timeit(lambda: m.train_epoch(ex, ey), n=3, warmup=1)
+            extra[f'{name}_epoch_steps_per_sec'] = 50 / dte
         except Exception as e:  # keep headline alive if a sideshow breaks
             extra[f'{name}_error'] = repr(e)
 
