@@ -236,43 +236,51 @@ class GaussianDiffusion:
         return {'loss': loss}
 
     # ---------------------------------------------------------------- #
-    def _cf_guidance(self, *, net, z_t, eps_pred_t, logsnr_t, cond_w):
-        """epsilon-space classifier-free guidance with clip-recompute
-        (reference gaussian_diffusion.py:174-187). `net` must accept
-        guide_override."""
-        uncond_out = self._run_model(
-            net=partial(net, uncond=True), z=z_t, logsnr=logsnr_t
+    def _run_model_guided(self, *, net, z_t, logsnr_t, cond_w):
+        """Classifier-free-guided prediction: the conditional and
+        unconditional branches run as ONE doubled-batch net call (the
+        reference runs two separate forwards, gaussian_diffusion.py:174-187 —
+        same math, but half the kernel launches and a fuller MXU), then the
+        epsilon-space combine + clip-recompute."""
+        B = z_t.shape[0]
+        ls = jnp.broadcast_to(jnp.asarray(logsnr_t, jnp.float32), (B,))
+        z2 = jnp.concatenate([z_t, z_t], axis=0)
+        ls2 = jnp.concatenate([ls, ls], axis=0)
+        out = self._run_model(
+            net=partial(net, uncond_second_half=True), z=z2, logsnr=ls2
         )
-        cond_coef, uncond_coef = 1 + cond_w, -cond_w
-        eps_pred_t = cond_coef * eps_pred_t + uncond_coef * uncond_out['model_eps']
-        x_pred_t = predict_x_from_eps(z=z_t, eps=eps_pred_t, logsnr=logsnr_t)
+        eps_cond = out['model_eps'][:B]
+        eps_uncond = out['model_eps'][B:]
+        cond_w = bc(cond_w, z_t.shape)
+        eps_pred_t = (1 + cond_w) * eps_cond - cond_w * eps_uncond
+        x_pred_t = predict_x_from_eps(z=z_t, eps=eps_pred_t, logsnr=ls)
         x_pred_t = jnp.clip(x_pred_t, -1.0, 1.0)
-        eps_pred_t = predict_eps_from_x(z=z_t, x=x_pred_t, logsnr=logsnr_t)
+        eps_pred_t = predict_eps_from_x(z=z_t, x=x_pred_t, logsnr=ls)
         return x_pred_t, eps_pred_t
 
     def ddim_step(self, *, net, logsnr_t, logsnr_s, z_t, cond_w=None):
-        model_out = self._run_model(net=net, z=z_t, logsnr=logsnr_t)
-        x_pred_t = model_out['model_x']
-        eps_pred_t = model_out['model_eps']
         if cond_w is not None:
-            x_pred_t, eps_pred_t = self._cf_guidance(
-                net=net, z_t=z_t, eps_pred_t=eps_pred_t,
-                logsnr_t=bc(logsnr_t, z_t.shape[:1]), cond_w=bc(cond_w, z_t.shape),
+            x_pred_t, eps_pred_t = self._run_model_guided(
+                net=net, z_t=z_t, logsnr_t=logsnr_t, cond_w=cond_w
             )
+        else:
+            model_out = self._run_model(net=net, z=z_t, logsnr=logsnr_t)
+            x_pred_t = model_out['model_x']
+            eps_pred_t = model_out['model_eps']
         stdv_s = bc(jnp.sqrt(jax.nn.sigmoid(-logsnr_s)), z_t.shape)
         alpha_s = bc(jnp.sqrt(jax.nn.sigmoid(logsnr_s)), z_t.shape)
         z_s_pred = alpha_s * x_pred_t + stdv_s * eps_pred_t
         return z_s_pred, x_pred_t, eps_pred_t
 
     def reverse_dpm_step(self, *, net, logsnr_t, logsnr_s, z_t, rng, cond_w=None):
-        model_out = self._run_model(net=net, z=z_t, logsnr=logsnr_t)
-        x_pred_t = model_out['model_x']
-        eps_pred_t = model_out['model_eps']
         if cond_w is not None:
-            x_pred_t, eps_pred_t = self._cf_guidance(
-                net=net, z_t=z_t, eps_pred_t=eps_pred_t,
-                logsnr_t=bc(logsnr_t, z_t.shape[:1]), cond_w=bc(cond_w, z_t.shape),
+            x_pred_t, eps_pred_t = self._run_model_guided(
+                net=net, z_t=z_t, logsnr_t=logsnr_t, cond_w=cond_w
             )
+        else:
+            model_out = self._run_model(net=net, z=z_t, logsnr=logsnr_t)
+            x_pred_t = model_out['model_x']
+            eps_pred_t = model_out['model_eps']
         z_s_dist = diffusion_reverse(
             z_t=z_t,
             logsnr_t=bc(logsnr_t, z_t.shape),

@@ -114,11 +114,18 @@ class DiffusionModel(GM):
         """Closure net(z, logsnr, cond_w=None, uncond=False) for the
         diffusion core."""
 
-        def net(z, logsnr, cond_w=None, uncond=False):
+        def net(z, logsnr, cond_w=None, uncond=False, uncond_second_half=False):
             logsnr = jnp.broadcast_to(
                 jnp.asarray(logsnr, jnp.float32), (z.shape[0],)
             )
-            g = -jnp.ones_like(guide) if uncond else guide
+            if uncond_second_half:
+                # fused CF guidance: rows [B:] are the unconditional branch
+                g = jnp.concatenate([guide, -jnp.ones_like(guide)])
+                if cond_w is not None:
+                    cw = jnp.asarray(cond_w, jnp.float32)
+                    cond_w = jnp.concatenate([cw, cw]) if cw.ndim else cond_w
+            else:
+                g = -jnp.ones_like(guide) if uncond else guide
             if cond_w is not None:
                 cond_w = jnp.broadcast_to(
                     jnp.asarray(cond_w, jnp.float32), (z.shape[0],)
