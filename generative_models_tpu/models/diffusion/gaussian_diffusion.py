@@ -126,7 +126,9 @@ class GaussianDiffusion:
         teacher_mode=None,
         sampler='ddim',
         sample_cond_w=None,
+        fused_cfg=False,
     ):
+        self.fused_cfg = fused_cfg
         self.mean_type = mean_type
         self.num_steps = num_steps
         self.has_teacher = has_teacher
@@ -241,16 +243,25 @@ class GaussianDiffusion:
         unconditional branches run as ONE doubled-batch net call (the
         reference runs two separate forwards, gaussian_diffusion.py:174-187 —
         same math, but half the kernel launches and a fuller MXU), then the
-        epsilon-space combine + clip-recompute."""
+        epsilon-space combine + clip-recompute. fused_cfg=False falls back to
+        two separate forwards (exactly the reference structure)."""
         B = z_t.shape[0]
         ls = jnp.broadcast_to(jnp.asarray(logsnr_t, jnp.float32), (B,))
-        z2 = jnp.concatenate([z_t, z_t], axis=0)
-        ls2 = jnp.concatenate([ls, ls], axis=0)
-        out = self._run_model(
-            net=partial(net, uncond_second_half=True), z=z2, logsnr=ls2
-        )
-        eps_cond = out['model_eps'][:B]
-        eps_uncond = out['model_eps'][B:]
+        if self.fused_cfg:
+            z2 = jnp.concatenate([z_t, z_t], axis=0)
+            ls2 = jnp.concatenate([ls, ls], axis=0)
+            out = self._run_model(
+                net=partial(net, uncond_second_half=True), z=z2, logsnr=ls2
+            )
+            eps_cond = out['model_eps'][:B]
+            eps_uncond = out['model_eps'][B:]
+        else:
+            cond_out = self._run_model(net=net, z=z_t, logsnr=ls)
+            uncond_out = self._run_model(
+                net=partial(net, uncond=True), z=z_t, logsnr=ls
+            )
+            eps_cond = cond_out['model_eps']
+            eps_uncond = uncond_out['model_eps']
         cond_w = bc(cond_w, z_t.shape)
         eps_pred_t = (1 + cond_w) * eps_cond - cond_w * eps_uncond
         x_pred_t = predict_x_from_eps(z=z_t, eps=eps_pred_t, logsnr=ls)

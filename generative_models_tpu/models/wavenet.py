@@ -2,9 +2,13 @@
 causal 'A' conv (kernel 2, pad 2, drop last) into 9 gated residual blocks
 with dilations 2^0..2^8, 1x1 out conv, Bernoulli over pixels.
 
-TPU-native: NWC layout with explicit left-pad dilated convs (XLA maps these
-onto the MXU as implicit GEMMs); sampling = one jitted lax.scan of 784 full
-forwards instead of the reference's host loop (wavenet.py:58-66).
+TPU-native: NWC layout with explicit left-pad dilated convs for training
+(XLA maps these onto the MXU as implicit GEMMs). Sampling uses INCREMENTAL
+decoding — each dilated conv carries a d-slot shift register, so one pixel
+costs one fused cell instead of a full 784-position forward (the reference
+runs 784 full forwards from the host, wavenet.py:58-66; a naive scan of full
+forwards is O(T^2·layers)). Exact equivalence with the full forward is
+tested in tests/test_causality.py.
 """
 
 import flax.linen as nn
@@ -12,31 +16,47 @@ import jax
 import jax.numpy as jnp
 
 from generative_models_tpu.models.base import Autoreg
-from generative_models_tpu.models.rnn import append_location
+from generative_models_tpu.models.rnn import append_location, location_grid
 from generative_models_tpu.utils import dists, register
 from generative_models_tpu.utils.config import AttrDict
 
 
-class DilatedCausalConv1d(nn.Module):
-    """mask_type 'A': pad 2 left, drop last output (strictly causal first
-    layer); 'B': pad = dilation (sees self) — reference wavenet.py:70-89."""
+class CausalConv1x2(nn.Module):
+    """kernel-2 dilated causal conv with shared params for both the full
+    teacher-forced path and the single-step decode path.
 
-    mask_type: str
+    a_type=True reproduces the reference's 'A' layer (pad 2, drop last:
+    y_t = K0·x_{t-2} + K1·x_{t-1}); otherwise 'B' (pad d:
+    y_t = K0·x_{t-d} + K1·x_t)."""
+
     features: int
     dilation: int = 1
+    a_type: bool = False
 
     @nn.compact
-    def __call__(self, x):  # (B, T, C)
-        if self.mask_type == 'A':
-            out = nn.Conv(
-                self.features, (2,), kernel_dilation=(1,), padding=[(2, 0)]
-            )(x)
-            return out[:, :-1]
-        out = nn.Conv(
-            self.features, (2,), kernel_dilation=(self.dilation,),
-            padding=[(self.dilation, 0)],
-        )(x)
-        return out
+    def __call__(self, x, x_prev=None):
+        """Full mode: x is (B, T, C), x_prev None.
+        Step mode: x is (B, C) (current input: x_{t-1} for A, x_t for B) and
+        x_prev is (B, C) (x_{t-2} for A, x_{t-d} for B)."""
+        in_c = x.shape[-1]
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(), (2, in_c, self.features)
+        )
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        if x_prev is None:
+            pad = 2 if self.a_type else self.dilation
+            dilation = 1 if self.a_type else self.dilation
+            out = jax.lax.conv_general_dilated(
+                jnp.pad(x, ((0, 0), (pad, 0), (0, 0))),
+                kernel,
+                window_strides=(1,),
+                padding='VALID',
+                rhs_dilation=(dilation,),
+                dimension_numbers=('NWC', 'WIO', 'NWC'),
+            )
+            out = out + bias
+            return out[:, :-1] if self.a_type else out
+        return x_prev @ kernel[0] + x @ kernel[1] + bias
 
 
 class GatedResidualBlock(nn.Module):
@@ -45,12 +65,19 @@ class GatedResidualBlock(nn.Module):
     res_channels: int
     dilation: int
 
-    @nn.compact
-    def __call__(self, x):
-        out = DilatedCausalConv1d('B', 2 * self.res_channels, self.dilation)(x)
+    def setup(self):
+        self.dilated = CausalConv1x2(2 * self.res_channels, self.dilation)
+        self.res1x1 = nn.Dense(self.res_channels)
+
+    def _gate(self, out):
         o1, o2 = jnp.split(out, 2, axis=-1)
-        out = jnp.tanh(o1) * jax.nn.sigmoid(o2)
-        return x + nn.Conv(self.res_channels, (1,))(out)
+        return jnp.tanh(o1) * jax.nn.sigmoid(o2)
+
+    def __call__(self, x):
+        return x + self.res1x1(self._gate(self.dilated(x)))
+
+    def step(self, x_t, x_prev):
+        return x_t + self.res1x1(self._gate(self.dilated(x_t, x_prev)))
 
 
 class WavenetNet(nn.Module):
@@ -58,15 +85,53 @@ class WavenetNet(nn.Module):
     use_resblock: bool = True
     layer_size: int = 9  # largest dilation 2^8 covers the 784-pixel context
 
-    @nn.compact
+    def setup(self):
+        self.causal = CausalConv1x2(self.res_channels, a_type=True)
+        if self.use_resblock:
+            self.stack = [
+                GatedResidualBlock(self.res_channels, 2**i, name=f'block{i}')
+                for i in range(self.layer_size)
+            ]
+        else:
+            self.stack = [
+                CausalConv1x2(self.res_channels, 2**i, name=f'conv{i}')
+                for i in range(self.layer_size)
+            ]
+        self.out_dense = nn.Dense(1)
+
     def __call__(self, x):  # (B, T, 3) -> (B, T) logits
-        x = DilatedCausalConv1d('A', self.res_channels, 1)(x)
-        for i in range(self.layer_size):
-            if self.use_resblock:
-                x = GatedResidualBlock(self.res_channels, 2**i)(x)
-            else:
-                x = DilatedCausalConv1d('B', self.res_channels, 2**i)(x)
-        return nn.Conv(1, (1,))(x)[..., 0]
+        x = self.causal(x)
+        for layer in self.stack:
+            x = layer(x)
+        return self.out_dense(x)[..., 0]
+
+    # ------------------------- incremental decode ------------------------- #
+    def init_buffers(self, n, in_channels=3):
+        """Shift registers: s_{t-2} for the A layer plus a d-slot ring buffer
+        per dilated layer (zeros == the full path's left pad)."""
+        a_buf = jnp.zeros((n, in_channels))
+        rings = tuple(
+            jnp.zeros((n, 2**i, self.res_channels)) for i in range(self.layer_size)
+        )
+        return a_buf, rings
+
+    def decode_step(self, buffers, s_prev, t):
+        """Consume s_{t-1} (the input features at position t-1) and emit the
+        logit for position t. Returns (logit (B,), new_buffers)."""
+        a_buf, rings = buffers  # a_buf == s_{t-2}
+        h = self.causal(s_prev, a_buf)  # K0·s_{t-2} + K1·s_{t-1}
+        new_a_buf = s_prev
+        new_rings = []
+        for i, layer in enumerate(self.stack):
+            ring = rings[i]
+            slot = jnp.mod(t, ring.shape[1])
+            x_prev = jax.lax.dynamic_index_in_dim(ring, slot, axis=1, keepdims=False)
+            new_rings.append(
+                jax.lax.dynamic_update_index_in_dim(ring, h, slot, axis=1)
+            )
+            h = layer.step(h, x_prev) if self.use_resblock else layer(h, x_prev)
+        logit = self.out_dense(h)[..., 0]
+        return logit, (new_a_buf, tuple(new_rings))
 
 
 @register
@@ -102,20 +167,33 @@ class Wavenet(Autoreg):
 
     def sample_fn(self, state, n, rng):
         side = self.side
+        locs = location_grid(side).reshape(self.canvas_size, 2)
 
-        def body(canvas, inp):
+        def body(carry, inp):
+            buffers, s_prev = carry
             i, key = inp
-            r, c = i // side, i % side
-            logits = self._logits(state.params, canvas)
-            pix = dists.Bernoulli(logits=logits[:, r, c, 0]).sample(key)
-            canvas = canvas.at[:, r, c, 0].set(pix)
-            return canvas, canvas
+            logit, buffers = self.net.apply(
+                {'params': state.params}, buffers, s_prev, i,
+                method=WavenetNet.decode_step,
+            )
+            pix = dists.Bernoulli(logits=logit).sample(key)  # (n,)
+            s_t = jnp.concatenate(
+                [pix[:, None], jnp.broadcast_to(locs[i][None], (n, 2))], -1
+            )
+            return (buffers, s_t), pix
 
-        keys = jax.random.split(rng, self.canvas_size)
-        canvas0 = jnp.zeros((n, side, side, 1), jnp.float32)
-        samples, frames = jax.lax.scan(
-            body, canvas0, (jnp.arange(self.canvas_size), keys)
+        buffers0 = self.net.apply(
+            {'params': state.params}, n, method=WavenetNet.init_buffers
         )
+        keys = jax.random.split(rng, self.canvas_size)
+        (_, _), pixels = jax.lax.scan(
+            body, (buffers0, jnp.zeros((n, 3))), (jnp.arange(self.canvas_size), keys)
+        )  # pixels: (T, n)
+        samples = pixels.T.reshape(n, side, side, 1)
+        T = self.canvas_size
+        tri = jnp.tril(jnp.ones((T, T), pixels.dtype))
+        frames = (tri[:, :, None] * pixels[None]).transpose(0, 2, 1)
+        frames = frames.reshape(T, n, side, side, 1)
         return samples, frames
 
     def sample(self, n):
