@@ -131,7 +131,11 @@ def train(model, dataset, autoencoder, classifier, G):
     data_key = jax.random.key(G.get('seed', 0) + 2000)
 
     if G.get('profile', 0):
-        jax.profiler.start_trace(str(Path(G.logdir) / 'profile'))
+        try:
+            jax.profiler.start_trace(str(Path(G.logdir) / 'profile'))
+        except Exception as e:  # remote platforms may not support tracing
+            print(f'[profiler] trace unavailable: {e}')
+            G.profile = 0
 
     for epoch in count(0):
         # ---- TEST (eval first: reference gms/main.py:157-183) ----

@@ -44,17 +44,26 @@ def merge_pytree(target, loaded):
     """strict=False state restore: copy leaves from `loaded` into `target`
     where the path exists and the shape matches (reference parity with
     load_state_dict(strict=False), gms/main.py:79-82)."""
-    flat_t = flax.traverse_util.flatten_dict(
-        serialization.to_state_dict(target), sep='/'
+    from flax.traverse_util import empty_node, flatten_dict, unflatten_dict
+
+    # keep_empty_nodes: optimizer states contain empty containers (e.g.
+    # optax EmptyState -> {}), which plain flatten would drop and then
+    # from_state_dict would report list-length mismatches
+    flat_t = flatten_dict(
+        serialization.to_state_dict(target), sep='/', keep_empty_nodes=True
     )
-    flat_l = flax.traverse_util.flatten_dict(
-        serialization.to_state_dict(loaded), sep='/'
+    flat_l = flatten_dict(
+        serialization.to_state_dict(loaded), sep='/', keep_empty_nodes=True
     )
     for k, v in flat_l.items():
-        if k in flat_t and jnp.shape(flat_t[k]) == jnp.shape(v):
+        if v is empty_node:
+            continue
+        if k in flat_t and flat_t[k] is not empty_node and jnp.shape(
+            flat_t[k]
+        ) == jnp.shape(v):
             flat_t[k] = v
     return serialization.from_state_dict(
-        target, flax.traverse_util.unflatten_dict(flat_t, sep='/')
+        target, unflatten_dict(flat_t, sep='/')
     )
 
 
@@ -195,19 +204,50 @@ class GM:
     def save(self, path, test_x=None, test_y=None):
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
+        if self.G.get('ckpt', 'flax') == 'orbax':
+            # Orbax full-train-state checkpoint (SURVEY.md §5): async-capable
+            # production path; layout is a directory instead of one file
+            import shutil
+
+            import orbax.checkpoint as ocp
+
+            target = (path / 'orbax_state').resolve()
+            if target.exists():
+                shutil.rmtree(target)
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(
+                str(target), serialization.to_state_dict(self._host_state_raw_rng())
+            )
+            if hasattr(ckptr, 'wait_until_finished'):
+                ckptr.wait_until_finished()  # save finalizes asynchronously
+            return
         with open(path / 'model.pt', 'wb') as f:
             f.write(serialization.to_bytes(self._host_state_raw_rng()))
 
     def load_weights(self, path):
-        with open(path, 'rb') as f:
-            data = f.read()
+        path = Path(path)
         template = self._host_state_raw_rng()
-        try:
-            loaded = serialization.from_bytes(template, data)
-        except (ValueError, KeyError):
-            # structure mismatch -> strict=False merge of matching leaves
-            state_dict = serialization.msgpack_restore(data)
-            loaded = merge_pytree(template, state_dict)
+        orbax_dir = None
+        if path.is_dir() and (path / 'orbax_state').exists():
+            orbax_dir = path / 'orbax_state'
+        elif path.name == 'orbax_state' and path.is_dir():
+            orbax_dir = path
+        elif not path.exists() and (path.parent / 'orbax_state').exists():
+            orbax_dir = path.parent / 'orbax_state'  # --weights_from dir/model.pt
+        if orbax_dir is not None:
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(str(orbax_dir.resolve()))
+            loaded = merge_pytree(template, restored)
+        else:
+            with open(path, 'rb') as f:
+                data = f.read()
+            try:
+                loaded = serialization.from_bytes(template, data)
+            except (ValueError, KeyError):
+                # structure mismatch -> strict=False merge of matching leaves
+                state_dict = serialization.msgpack_restore(data)
+                loaded = merge_pytree(template, state_dict)
         loaded = loaded.replace(rng=jax.random.wrap_key_data(loaded.rng))
         self.state = replicate(loaded)
 

@@ -67,6 +67,7 @@ def global_defaults():
     DG.data_dir = Path('./data/')
     DG.mesh = ''              # e.g. 'data:8' or 'data:4,model:2'; '' = all-data
     DG.profile = 0            # emit jax.profiler traces into logdir
+    DG.ckpt = 'flax'          # checkpoint backend: 'flax' bytes | 'orbax'
     return DG
 
 
