@@ -17,7 +17,6 @@ Data sources, resolved in order by 'auto':
 """
 
 import gzip
-import struct
 from pathlib import Path
 
 import jax

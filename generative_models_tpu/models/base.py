@@ -16,7 +16,6 @@ replacement for the reference's host-driven per-step loop with D2H metric
 pulls (gms/main.py:205-215).
 """
 
-import functools
 from pathlib import Path
 from typing import Any
 

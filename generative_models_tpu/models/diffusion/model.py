@@ -8,7 +8,6 @@ sampling chain is a single jitted lax.scan; the teacher's frozen params ride
 in state.extra so the whole distillation step is one jit.
 """
 
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -17,7 +16,7 @@ import numpy as np
 import optax
 from flax import serialization
 
-from generative_models_tpu.models.base import GM, TrainState
+from generative_models_tpu.models.base import GM
 from generative_models_tpu.models.diffusion.gaussian_diffusion import GaussianDiffusion
 from generative_models_tpu.models.diffusion.unet import SimpleUnet
 from generative_models_tpu.utils import register, write_grid, write_gridvid

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import optax
 
 from generative_models_tpu.models.base import GM, TrainState
-from generative_models_tpu.parallel import replicate
 from generative_models_tpu.utils import register, write_grid
 from generative_models_tpu.utils.config import AttrDict
 

@@ -18,7 +18,6 @@ from pathlib import Path
 
 import jax
 import numpy as np
-import yaml
 
 try:
     import imageio.v2 as imageio
