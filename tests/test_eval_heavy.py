@@ -1,0 +1,51 @@
+"""eval_heavy integration: arbiter save -> load_arbiter -> FID/P/R pipeline
+(reference chain gms/main.py:95-149), on tiny CPU configs."""
+
+import numpy as np
+import pytest
+
+import generative_models_tpu.data.mnist as mnist_mod
+from generative_models_tpu.main import eval_heavy, load_model_and_data, main
+from generative_models_tpu.utils import make_logger
+
+
+@pytest.fixture()
+def trained_arbiters(tmp_path, monkeypatch):
+    monkeypatch.setattr(mnist_mod, 'TRAIN_N', 64)
+    monkeypatch.setattr(mnist_mod, 'TEST_N', 64)
+    common = [
+        '--epochs=0', '--bs=16', '--hidden_size=16', '--data_source=synthetic',
+        '--save_n=1', '--eval_heavy=0',
+    ]
+    main([f'--model=autoencoder', f'--logdir={tmp_path}/ae'] + common)
+    main([f'--model=classifier', f'--logdir={tmp_path}/cls'] + common)
+    return tmp_path / 'ae' / 'model.jit.pt', tmp_path / 'cls' / 'model.jit.pt'
+
+
+def test_eval_heavy_pipeline(tmp_path, monkeypatch, trained_arbiters):
+    ae_path, cls_path = trained_arbiters
+    monkeypatch.setattr(mnist_mod, 'TRAIN_N', 64)
+    monkeypatch.setattr(mnist_mod, 'TEST_N', 64)
+    import generative_models_tpu.main as main_mod
+
+    monkeypatch.setattr(main_mod, 'TOTAL_HEAVY_SAMPLES', 32)
+    model, dataset, autoencoder, classifier, G = load_model_and_data(
+        [
+            '--model=diffusion_model', f'--logdir={tmp_path}/diff',
+            '--bs=16', '--hidden_size=32', '--timesteps=2', '--bf16=0',
+            '--data_source=synthetic', '--eval_heavy=1', '--class_cond=1',
+            f'--autoencoder={ae_path}', f'--classifier={cls_path}',
+        ]
+    )
+    assert autoencoder is not None and classifier is not None
+    logger = make_logger()
+    eval_heavy(logger, model, dataset, autoencoder, classifier, G)
+    for key in [
+        'eval/fid', 'eval/ignite_fid', 'eval/precision', 'eval/recall',
+        'eval/f1', 'eval/classifier_loss', 'eval/cond_fid', 'eval/cond_precision',
+    ]:
+        assert key in logger, f'missing {key}'
+        val = logger[key][0]
+        assert np.isfinite(val) or key == 'eval/f1', (key, val)
+    # arbiter features are 64-d (G.z_size default), FID must be >= 0
+    assert logger['eval/fid'][0] >= -1e-3
