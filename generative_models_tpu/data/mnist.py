@@ -170,10 +170,14 @@ class Dataset:
         by = y[perm].reshape(steps, self.bs)
         return bx, by
 
-    def first_test_batch(self, rng=None):
-        """One test batch for model.evaluate (reference grabs next(iter(test_ds)),
-        gms/main.py:178-179). Deterministic: the first bs test examples."""
-        return self.test_x[: self.bs], self.test_y[: self.bs]
+    def first_test_batch(self, epoch=0):
+        """One test batch for model.evaluate. The reference sees a freshly
+        shuffled batch each epoch (next(iter(test_ds)), gms/main.py:178-179);
+        here the subjects rotate deterministically with the epoch seed."""
+        idx = np.random.RandomState(epoch).permutation(self.test_x.shape[0])[
+            : self.bs
+        ]
+        return self.test_x[idx], self.test_y[idx]
 
 
 def load_mnist(G):

@@ -81,8 +81,7 @@ def eval_heavy(logger, model, dataset, autoencoder, classifier, G):
 
     sample_ct = 0
     all_z_sample, all_z_real, all_z_cond = [], [], []
-    all_pix_sample, all_pix_real = [], []
-    cls_losses = []
+    cls_losses = []  # device scalars; synced to host ONCE at the end
     bs = G.bs
     n_test = dataset.test_x.shape[0]
     offset = 0
@@ -95,11 +94,9 @@ def eval_heavy(logger, model, dataset, autoencoder, classifier, G):
         if G.class_cond:
             cond_samp = model.sample(bs, y=test_y)
             logits = classifier.apply(cond_samp)
-            cls_losses.append(float(M.cross_entropy(logits, test_y)))
+            cls_losses.append(M.cross_entropy(logits, test_y))
             all_z_cond.append(autoencoder.apply(cond_samp))
         samp = model.sample(bs, y=-np.ones(bs, np.int32))
-        all_pix_sample.append(samp.reshape(bs, -1))
-        all_pix_real.append(test_x.reshape(bs, -1))
         all_z_real.append(autoencoder.apply(test_x))
         all_z_sample.append(autoencoder.apply(samp))
         sample_ct += bs
@@ -115,7 +112,7 @@ def eval_heavy(logger, model, dataset, autoencoder, classifier, G):
     results['fid'] = M.compute_fid(z_samp, z_real)
     results.update(M.precision_recall_f1(real=z_real, gen=z_samp))
     if G.class_cond:
-        results['classifier_loss'] = float(np.mean(cls_losses))
+        results['classifier_loss'] = jnp.stack(cls_losses).mean()
         z_cond = jnp.concatenate(all_z_cond)
         cond = M.precision_recall_f1(real=z_real, gen=z_cond)
         cond['fid'] = M.compute_fid(z_cond, z_real)
@@ -148,7 +145,7 @@ def train(model, dataset, autoencoder, classifier, G):
                     f'{G.model}/test/{key}' if key != 'nlogp' else 'eval/nlogp'
                 )
                 logger[prefix_key].append(float(val))
-        test_x, test_y = dataset.first_test_batch()
+        test_x, test_y = dataset.first_test_batch(epoch)
         eval_time = time.time()
         model.evaluate(writer, test_x, test_y, epoch)
         logger['dt/eval'] = [time.time() - eval_time]

@@ -54,12 +54,19 @@ def merge_pytree(target, loaded):
     flat_l = flatten_dict(
         serialization.to_state_dict(loaded), sep='/', keep_empty_nodes=True
     )
+    def _shape(leaf):
+        # jnp.shape(None) is deprecated (future hard error); None leaves can
+        # appear in optional state slots (e.g. TrainState.extra)
+        return None if leaf is None else jnp.shape(leaf)
+
     for k, v in flat_l.items():
-        if v is empty_node:
+        if v is empty_node or v is None:
             continue
-        if k in flat_t and flat_t[k] is not empty_node and jnp.shape(
-            flat_t[k]
-        ) == jnp.shape(v):
+        if (
+            k in flat_t
+            and flat_t[k] is not empty_node
+            and _shape(flat_t[k]) == _shape(v)
+        ):
             flat_t[k] = v
     return serialization.from_state_dict(
         target, unflatten_dict(flat_t, sep='/')

@@ -8,7 +8,6 @@ stats' hard part, SURVEY.md §7); discriminator outputs logits and the BCE is
 computed in log-space for stability (same value as sigmoid+BCELoss).
 """
 
-import flax
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from generative_models_tpu.models.base import Autoreg
+from generative_models_tpu.models.heads import BinaryHead, CategoricalHead
 from generative_models_tpu.ops.attention import causal_attention, decode_step_attention
 from generative_models_tpu.utils import dists, register
 from generative_models_tpu.utils.config import AttrDict
@@ -114,12 +115,9 @@ class TransformerNet(nn.Module):
             for i in range(self.n_layer)
         ]
         self.ln_f = nn.LayerNorm()
-        self.head_layer = nn.Dense(self.in_size)
-
-    def dist(self, logits):
-        if self.head == 'bin':
-            return dists.Bernoulli(logits=logits)
-        return dists.Categorical(logits=logits)
+        # distribution heads (reference: gms/common.py:211-232)
+        head_cls = BinaryHead if self.head == 'bin' else CategoricalHead
+        self.head_layer = head_cls(self.in_size)
 
     def __call__(self, x):
         """x: (B, T, in_size) UNSHIFTED targets; returns the dist over x."""
@@ -128,7 +126,7 @@ class TransformerNet(nn.Module):
         h = self.embed(x) + self.pos_emb[:, :T]
         for block in self.blocks:
             h = block(h)
-        return self.dist(self.head_layer(self.ln_f(h)))
+        return self.head_layer(self.ln_f(h))
 
     def init_cache(self, batch):
         d = self.n_embed // self.n_head
@@ -147,7 +145,7 @@ class TransformerNet(nn.Module):
         for block, (kc, vc) in zip(self.blocks, caches):
             h, kc, vc = block.step(h, kc, vc, t)
             new_caches.append((kc, vc))
-        return self.head_layer(self.ln_f(h)), new_caches
+        return self.head_layer(self.ln_f(h)).logits, new_caches
 
 
 def transformer_sample_scan(net, params, n, rng, sample_token):

@@ -9,7 +9,6 @@ loop (rnn.py:61-74) becomes one jitted scan.
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from generative_models_tpu.models.base import Autoreg
 from generative_models_tpu.utils import dists, register

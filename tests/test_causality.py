@@ -5,11 +5,10 @@ bug the reference never tests for)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from generative_models_tpu.models.gated_pixel_cnn import GatedPixelCNNNet
 from generative_models_tpu.models.pixel_cnn import PixelCNNNet
-from generative_models_tpu.models.rnn import LSTMPixelNet, append_location
+from generative_models_tpu.models.rnn import LSTMPixelNet
 from generative_models_tpu.models.wavenet import WavenetNet
 
 SIDE = 10  # small canvas keeps jacobians cheap

@@ -1,7 +1,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from generative_models_tpu.models.made import MADE, MaskedMLP, create_made_masks
 from generative_models_tpu.utils.config import global_defaults
