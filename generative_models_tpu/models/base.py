@@ -82,7 +82,7 @@ class GM:
         self.G = G
         self._init_key = jax.random.key(G.get('seed', 0))
         self.net = self.build()
-        self.state = replicate(self.init_state(self._init_key))
+        self.state = self.place_state(self.init_state(self._init_key))
         # cached jitted functions
         self._jit_train_step = jax.jit(self.train_step_fn, donate_argnums=0)
         self._jit_train_epoch = jax.jit(self._train_epoch_fn, donate_argnums=0)
@@ -110,6 +110,22 @@ class GM:
     # ------------------------------------------------------------------ #
     def make_optimizer(self):
         return optax.adam(self.G.lr)
+
+    def param_sharding_rules(self):
+        """[(path_regex, per-dim mesh-axis tuple)] tensor-parallel placements
+        for this model's big matrices; empty = fully replicated params. The
+        rules also hit the optimizer moments (they mirror param paths)."""
+        return []
+
+    def place_state(self, state):
+        """Lay the train state out on the mesh: TP-ruled leaves sharded over
+        'model', everything else replicated."""
+        rules = self.param_sharding_rules()
+        if not rules:
+            return replicate(state)
+        from generative_models_tpu.parallel import shard_by_rules
+
+        return shard_by_rules(state, rules)
 
     def example_input(self):
         size = 32 if self.G.get('pad32', 0) else 28
@@ -255,7 +271,7 @@ class GM:
                 state_dict = serialization.msgpack_restore(data)
                 loaded = merge_pytree(template, state_dict)
         loaded = loaded.replace(rng=jax.random.wrap_key_data(loaded.rng))
-        self.state = replicate(loaded)
+        self.state = self.place_state(loaded)
 
 
 class Autoreg(GM):

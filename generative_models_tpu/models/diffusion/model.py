@@ -80,6 +80,20 @@ class DiffusionModel(GM):
             cond_w=jnp.zeros((1,)) if self.has_teacher else None, train=False,
         )['params']
 
+    def param_sharding_rules(self):
+        # TP over UNet channels: ResBlock Conv_0 + emb Dense column-parallel
+        # (out-channels over 'model'), zero-init Conv_1 row-parallel
+        # (in-channels over 'model'); pairs with the activation constraint in
+        # ResBlock (unet.py) so the inner GN/SiLU/dropout stay shard-local
+        return [
+            (r'ResBlock_\d+/Conv_0/kernel$', (None, None, None, 'model')),
+            (r'ResBlock_\d+/Conv_0/bias$', ('model',)),
+            (r'ResBlock_\d+/Dense_0/kernel$', (None, 'model')),
+            (r'ResBlock_\d+/Dense_0/bias$', ('model',)),
+            (r'ResBlock_\d+/GroupNorm_1/(scale|bias)$', ('model',)),
+            (r'ResBlock_\d+/Conv_1/kernel$', (None, None, 'model', None)),
+        ]
+
     def init_state(self, rng):
         state = super().init_state(rng)
         if self.has_teacher:

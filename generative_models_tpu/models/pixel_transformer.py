@@ -23,6 +23,7 @@ class CausalSelfAttention(nn.Module):
     n_embed: int
     n_head: int
     use_pallas: bool = True
+    use_ring: bool = False  # sequence parallelism over the 'seq' mesh axis
 
     def setup(self):
         self.query = nn.Dense(self.n_embed)
@@ -42,7 +43,14 @@ class CausalSelfAttention(nn.Module):
 
     def __call__(self, x):
         q, k, v = self._heads(self.query(x)), self._heads(self.key(x)), self._heads(self.value(x))
-        y = causal_attention(q, k, v, self.use_pallas)
+        if self.use_ring:
+            from generative_models_tpu.parallel.ring_attention import (
+                ring_causal_attention,
+            )
+
+            y = ring_causal_attention(q, k, v)
+        else:
+            y = causal_attention(q, k, v, self.use_pallas)
         B, H, T, D = y.shape
         return self.proj(y.transpose(0, 2, 1, 3).reshape(B, T, H * D))
 
@@ -65,11 +73,14 @@ class Block(nn.Module):
     n_embed: int
     n_head: int
     use_pallas: bool = True
+    use_ring: bool = False
 
     def setup(self):
         self.ln1 = nn.LayerNorm()
         self.ln2 = nn.LayerNorm()
-        self.attn = CausalSelfAttention(self.n_embed, self.n_head, self.use_pallas)
+        self.attn = CausalSelfAttention(
+            self.n_embed, self.n_head, self.use_pallas, self.use_ring
+        )
         self.fc1 = nn.Dense(4 * self.n_embed)
         self.fc2 = nn.Dense(self.n_embed)
 
@@ -104,6 +115,7 @@ class TransformerNet(nn.Module):
     n_layer: int
     head: str = 'bin'  # 'bin' | 'cat'
     use_pallas: bool = True
+    use_ring: bool = False
 
     def setup(self):
         self.pos_emb = self.param(
@@ -111,7 +123,10 @@ class TransformerNet(nn.Module):
         )
         self.embed = nn.Dense(self.n_embed, use_bias=False)
         self.blocks = [
-            Block(self.n_embed, self.n_head, self.use_pallas, name=f'block{i}')
+            Block(
+                self.n_embed, self.n_head, self.use_pallas, self.use_ring,
+                name=f'block{i}',
+            )
             for i in range(self.n_layer)
         ]
         self.ln_f = nn.LayerNorm()
@@ -146,6 +161,22 @@ class TransformerNet(nn.Module):
             h, kc, vc = block.step(h, kc, vc, t)
             new_caches.append((kc, vc))
         return self.head_layer(self.ln_f(h)).logits, new_caches
+
+
+def transformer_tp_rules():
+    """Megatron-style tensor-parallel param layout for TransformerNet:
+    QKV + fc1 column-parallel (output dim over 'model'), proj + fc2
+    row-parallel (input dim over 'model'); pairs with the activation
+    constraints in CausalSelfAttention._heads / Block._mlp so GSPMD's only
+    collective is the all-reduce after each row-parallel matmul."""
+    return [
+        (r'attn/(query|key|value)/kernel$', (None, 'model')),
+        (r'attn/(query|key|value)/bias$', ('model',)),
+        (r'attn/proj/kernel$', ('model', None)),
+        (r'fc1/kernel$', (None, 'model')),
+        (r'fc1/bias$', ('model',)),
+        (r'fc2/kernel$', ('model', None)),
+    ]
 
 
 def transformer_sample_scan(net, params, n, rng, sample_token):
@@ -184,7 +215,16 @@ class PixelTransformer(Autoreg):
 
     def build(self):
         from generative_models_tpu.ops import on_tpu
+        from generative_models_tpu.parallel import SEQ_AXIS, get_mesh
 
+        # sequence parallelism: --mesh=seq:N routes attention through the
+        # ring kernel (parallel/ring_attention.py) with T sharded over 'seq'
+        mesh = get_mesh()
+        use_ring = (
+            SEQ_AXIS in mesh.axis_names
+            and mesh.shape[SEQ_AXIS] > 1
+            and self.block_size % mesh.shape[SEQ_AXIS] == 0
+        )
         return TransformerNet(
             in_size=1,
             block_size=self.block_size,
@@ -192,11 +232,15 @@ class PixelTransformer(Autoreg):
             n_head=self.G.n_head,
             n_layer=self.G.n_layer,
             head='bin',
-            use_pallas=on_tpu(),
+            use_pallas=on_tpu() and not use_ring,
+            use_ring=use_ring,
         )
 
     def example_input(self):
         return jnp.zeros((1, self.block_size, 1), jnp.float32)
+
+    def param_sharding_rules(self):
+        return transformer_tp_rules()
 
     def loss(self, params, x, y=None, rng=None, train=True):
         x = x.reshape(x.shape[0], self.block_size, 1)

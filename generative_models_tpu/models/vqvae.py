@@ -128,6 +128,15 @@ class VQVAE(GM):
         )
         return None
 
+    def param_sharding_rules(self):
+        from generative_models_tpu.models.pixel_transformer import (
+            transformer_tp_rules,
+        )
+
+        # prior transformer params live under 'prior/...'; the regexes are
+        # suffix-anchored so they apply there too
+        return transformer_tp_rules()
+
     def _prior_optimizer(self):
         # reference: Adam(prior_lr, betas=(0.5, 0.999)), gms/vaes/vqvae.py:32-34
         return optax.adam(self.G.prior_lr, b1=0.5, b2=0.999)

@@ -10,6 +10,7 @@ collectives. Multi-host runs go through jax.distributed.initialize.
 
 import math
 import os
+import re
 
 import jax
 import numpy as np
@@ -114,6 +115,53 @@ def constrain_batch(x, mesh=None):
         return x
     spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def _path_str(path):
+    parts = []
+    for p in path:
+        if hasattr(p, 'key'):
+            parts.append(str(p.key))
+        elif hasattr(p, 'name'):
+            parts.append(str(p.name))
+        elif hasattr(p, 'idx'):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return '/'.join(parts)
+
+
+def shard_by_rules(tree, rules, mesh=None):
+    """Place a pytree with explicit tensor-parallel param shardings.
+
+    rules: [(path_regex, axes_tuple)] — the first regex matching the leaf's
+    '/'-joined path wins; axes_tuple is a per-dim mesh-axis name (or None),
+    e.g. (None, 'model') for a column-parallel kernel. A rule only applies if
+    its length matches the leaf rank, the mesh has every named axis, and each
+    sharded dim divides evenly; otherwise the leaf is replicated. Optimizer
+    moments mirror param paths, so the same rules shard them identically
+    (Megatron-style TP state layout)."""
+    mesh = mesh or get_mesh()
+    compiled = [(re.compile(pat), axes) for pat, axes in rules]
+    rep = NamedSharding(mesh, P())
+
+    def place(path, x):
+        s = _path_str(path)
+        for pat, axes in compiled:
+            if pat.search(s):
+                if len(axes) != getattr(x, 'ndim', None):
+                    break
+                ok = all(
+                    a is None
+                    or (a in mesh.axis_names and d % mesh.shape[a] == 0)
+                    for d, a in zip(x.shape, axes)
+                )
+                if ok:
+                    return jax.device_put(x, NamedSharding(mesh, P(*axes)))
+                break
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map_with_path(place, tree)
 
 
 def maybe_initialize_distributed():
