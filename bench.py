@@ -1,10 +1,12 @@
 """Benchmark entry point: prints ONE JSON line with the headline metric.
 
-Headline: diffusion (flagship) train steps/sec on one chip, compared against
-the reference's torch-CPU steps/sec (the reference publishes no numbers and
-has no GPU here; BASELINE.md north star is >=20x the CPU reference).
+Headline: diffusion (flagship) train steps/sec on one chip vs the measured
+torch-CPU reference (the reference publishes no numbers, BASELINE.md; the
+north star is >=20x the CPU reference for EVERY model).
 
-Extra metrics (sample latency, other models) go to BENCH_EXTRA.json.
+Full matrix (BENCH_EXTRA.json): per-model train steps/s (epoch-scan path),
+x-vs-CPU ratio, MFU (XLA-counted FLOPs/step from model_flops.json x measured
+steps/s / chip peak), and sampling latency for every model in the zoo.
 """
 
 import json
@@ -15,17 +17,41 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Reference torch-CPU diffusion train_step, bs=64, hidden=128, measured on
-# this machine (scripts/measure_reference_cpu.py): see BENCH_EXTRA.json
-# 'cpu_reference_steps_per_sec' for the recorded value.
-CPU_REF_STEPS_PER_SEC = None  # resolved from file if present
-_REF_FILE = Path(__file__).parent / 'reference_cpu_baseline.json'
+_ROOT = Path(__file__).parent
+
+# torch-CPU reference throughput (scripts/measure_reference_cpu.py)
+_REF = {}
+_REF_FILE = _ROOT / 'reference_cpu_baseline.json'
 if _REF_FILE.exists():
-    CPU_REF_STEPS_PER_SEC = json.loads(_REF_FILE.read_text()).get(
-        'diffusion_steps_per_sec'
-    )
-if not CPU_REF_STEPS_PER_SEC:
-    CPU_REF_STEPS_PER_SEC = 0.5  # conservative placeholder
+    _REF = json.loads(_REF_FILE.read_text())
+
+# XLA-counted FLOPs per train step at bs=64 (scripts/compute_flops.py)
+_FLOPS = {}
+_FLOPS_FILE = _ROOT / 'model_flops.json'
+if _FLOPS_FILE.exists():
+    _FLOPS = json.loads(_FLOPS_FILE.read_text())
+
+PEAK_FLOPS = 197e12  # TPU v5e bf16 peak per chip
+
+# our registry name -> reference baseline key prefix
+MODELS = [
+    'diffusion_model',
+    'made',
+    'rnn',
+    'wavenet',
+    'pixel_cnn',
+    'gated_pixel_cnn',
+    'pixel_transformer',
+    'vae',
+    'vqvae',
+    'gan',
+    'autoencoder',
+    'classifier',
+]
+REF_KEY = {m: m for m in MODELS}
+REF_KEY['diffusion_model'] = 'diffusion'
+
+EPOCH_STEPS = 30  # steps inside each timed jitted-epoch call
 
 
 def _fetch(out):
@@ -36,7 +62,7 @@ def _fetch(out):
     )
 
 
-def timeit(fn, n=20, warmup=2):
+def timeit(fn, n=2, warmup=1):
     for _ in range(warmup):
         out = fn()
     _fetch(out)
@@ -47,76 +73,90 @@ def timeit(fn, n=20, warmup=2):
     return (time.perf_counter() - t0) / n
 
 
-def main():
+def bench_model(name, extra, rng):
     from generative_models_tpu.utils import discover_models
     from generative_models_tpu.utils.config import parse_args
 
-    extra = {'device': str(jax.devices()[0]), 'backend': jax.default_backend()}
-
-    # ---- flagship: diffusion train step (bs=64, hidden=128) ----
     G, Model = parse_args(
-        ['--model=diffusion_model', '--bs=64', '--logdir=/tmp/bench_logs'],
+        [f'--model={name}', '--bs=64', '--logdir=/tmp/bench_logs'],
         discover_models=discover_models,
     )
     model = Model(G=G)
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(64, 28, 28, 1), jnp.float32)
+    if G.binarize:
+        x = jnp.asarray((rng.rand(64, 28, 28, 1) > 0.5), jnp.float32)
+    else:
+        x = jnp.asarray(rng.randn(64, 28, 28, 1), jnp.float32)
     y = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
 
-    def step():
-        return model.train_step(x, y)
+    # ---- train throughput: whole epoch scanned inside one jit ----
+    ex = jnp.broadcast_to(x, (EPOCH_STEPS, *x.shape))
+    ey = jnp.broadcast_to(y, (EPOCH_STEPS, *y.shape))
+    dte = timeit(lambda: model.train_epoch(ex, ey), n=2, warmup=1)
+    sps = EPOCH_STEPS / dte
+    extra[f'{name}_train_steps_per_sec'] = sps
 
-    dt = timeit(step, n=15, warmup=3)
-    steps_per_sec = 1.0 / dt
-    extra['diffusion_train_steps_per_sec'] = steps_per_sec
-    extra['diffusion_train_ms_per_step'] = dt * 1e3
+    ref_sps = _REF.get(f'{REF_KEY[name]}_steps_per_sec')
+    if ref_sps:
+        extra[f'{name}_vs_cpu_reference'] = sps / ref_sps
+    fl = _FLOPS.get(name, {}).get('flops_per_step')
+    if fl:
+        extra[f'{name}_mfu'] = fl * sps / PEAK_FLOPS
 
-    # real training path: the whole epoch scanned inside one jit
-    EPOCH_STEPS = 100
-    bx = jnp.asarray(rng.randn(EPOCH_STEPS, 64, 28, 28, 1), jnp.float32)
-    by = jnp.asarray(rng.randint(0, 10, (EPOCH_STEPS, 64)), jnp.int32)
-    dt_epoch = timeit(lambda: model.train_epoch(bx, by), n=2, warmup=1)
-    extra['diffusion_epoch_steps_per_sec'] = EPOCH_STEPS / dt_epoch
-
-    # ---- DDPM 64-image grid sample latency (north star: < 1 s) ----
-    yy = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
-
-    def sample():
-        return model.sample(64, y=yy)
-
-    extra['ddpm_sample64_sec'] = timeit(sample, n=2, warmup=1)
-
-    # ---- a couple of zoo members for breadth (epoch-scan path only:
-    # per-call train_step timing mostly measures dispatch overhead) ----
-    for name, flags in [
-        ('made', []),
-        ('pixel_transformer', []),
-    ]:
-        try:
-            Gm, Mm = parse_args(
-                [f'--model={name}', '--bs=64', '--logdir=/tmp/bench_logs'],
-                discover_models=discover_models,
+    # ---- sampling latency ----
+    if name in ('autoencoder', 'classifier'):
+        return model, sps  # eval arbiters don't sample
+    try:
+        if name == 'diffusion_model':
+            yy = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
+            extra['ddpm_sample64_sec'] = timeit(
+                lambda: model.sample(64, y=yy), n=2, warmup=1
             )
-            m = Mm(G=Gm)
-            xb = jnp.asarray((rng.rand(64, 28, 28, 1) > 0.5), jnp.float32)
-            yb = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
-            ex = jnp.broadcast_to(xb, (50, *xb.shape))
-            ey = jnp.broadcast_to(yb, (50, *yb.shape))
-            dte = timeit(lambda: m.train_epoch(ex, ey), n=2, warmup=1)
-            extra[f'{name}_epoch_steps_per_sec'] = 50 / dte
-        except Exception as e:  # keep headline alive if a sideshow breaks
-            extra[f'{name}_error'] = repr(e)
+        else:
+            extra[f'{name}_sample25_sec'] = timeit(
+                lambda: model.sample(25), n=2, warmup=1
+            )
+    except Exception as e:
+        extra[f'{name}_sample_error'] = repr(e)
+    return model, sps
 
-    extra['cpu_reference_steps_per_sec'] = CPU_REF_STEPS_PER_SEC
-    Path('BENCH_EXTRA.json').write_text(json.dumps(extra, indent=2))
+
+def main():
+    extra = {
+        'device': str(jax.devices()[0]),
+        'backend': jax.default_backend(),
+        'peak_flops_bf16': PEAK_FLOPS,
+        'epoch_steps': EPOCH_STEPS,
+    }
+    rng = np.random.RandomState(0)
+
+    headline_sps = None
+    for name in MODELS:
+        t0 = time.time()
+        try:
+            model, sps = bench_model(name, extra, rng)
+            if name == 'diffusion_model':
+                headline_sps = sps
+                # per-call step (dispatch-bound) for continuity with round 1
+                x = jnp.asarray(rng.randn(64, 28, 28, 1), jnp.float32)
+                y = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
+                dt = timeit(lambda: model.train_step(x, y), n=10, warmup=2)
+                extra['diffusion_train_ms_per_step'] = dt * 1e3
+            print(f'[bench] {name}: done in {time.time() - t0:.1f}s', flush=True)
+        except Exception as e:  # keep the headline alive if a sideshow breaks
+            extra[f'{name}_error'] = repr(e)
+            print(f'[bench] {name}: ERROR {e!r}', flush=True)
+
+    cpu_ref = _REF.get('diffusion_steps_per_sec') or 0.5
+    extra['cpu_reference_steps_per_sec'] = cpu_ref
+    (_ROOT / 'BENCH_EXTRA.json').write_text(json.dumps(extra, indent=2))
 
     print(
         json.dumps(
             {
                 'metric': 'diffusion_train_steps_per_sec',
-                'value': round(steps_per_sec, 3),
+                'value': round(headline_sps or 0.0, 3),
                 'unit': 'steps/s',
-                'vs_baseline': round(steps_per_sec / CPU_REF_STEPS_PER_SEC, 2),
+                'vs_baseline': round((headline_sps or 0.0) / cpu_ref, 2),
             }
         )
     )

@@ -180,16 +180,21 @@ def train(model, dataset, autoencoder, classifier, G):
                     )
                     logger[prefix_key].append(float(val))
             else:
+                # per-step debug path: dispatch every step async, sync to
+                # host ONCE at epoch end (device scalars stay on device
+                # during the loop)
                 n_steps = bx.shape[0]
-                for i in range(n_steps):
-                    metrics = model.train_step(bx[i], by[i])
+                step_metrics = [
+                    model.train_step(bx[i], by[i]) for i in range(n_steps)
+                ]
+                for metrics in jax.device_get(step_metrics):
                     for key in metrics:
                         prefix_key = (
                             f'{G.model}/train/{key}'
                             if key != 'nlogp'
                             else 'train/nlogp'
                         )
-                        logger[prefix_key].append(metrics[key])
+                        logger[prefix_key].append(float(metrics[key]))
         logger['dt/train'] = [time.time() - train_time]
 
     if G.get('profile', 0):

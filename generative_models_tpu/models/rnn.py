@@ -73,8 +73,8 @@ class LSTMPixelNet(nn.Module):
 @register
 class RNN(Autoreg):
     DG = AttrDict()
-    DG.append_loc = 1
-    DG.hidden_size = 1024
+    DG.append_loc = 1  # reference rnn.py:11 (hidden_size stays the main
+    # default 256, matching the reference's RNN workload)
 
     def __init__(self, G):
         self.side = 32 if G.get('pad32', 0) else 28

@@ -1,26 +1,34 @@
-"""One-time measurement of the reference implementation's torch-CPU training
-throughput, recorded to reference_cpu_baseline.json for bench.py's
-vs_baseline ratio.
+"""Record the reference implementation's torch-CPU behavior for ALL 12 zoo
+models: training throughput (steps/sec at the reference's default workload,
+bs=64 — /root/reference/gms/main.py:22) and seeded short loss curves on the
+shared deterministic parity data (generative_models_tpu/data/parity.py).
 
-Imports the reference read-only from /root/reference purely to time it (the
-reference has no published numbers; BASELINE.md's north star is >=20x its CPU
-steps/sec). Models whose imports need packages absent here (torchvision) are
-timed through their torch modules directly.
+Output: reference_cpu_baseline.json
+  { '<model>_steps_per_sec': float,            # bench.py vs_baseline ratios
+    'curves': { model: {key, bs, steps, curve: [...] } },
+    'meta': {...} }
+
+The reference publishes no numbers (BASELINE.md); these measurements are the
+baseline its north stars are scored against. Run with a clean CPU backend:
+
+  PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python scripts/measure_reference_cpu.py
 """
 
 import json
 import sys
 import time
+import types
+from functools import partial
 from pathlib import Path
 
-sys.path.insert(0, '/root/reference')
+import numpy as np
+import torch
 
-import torch  # noqa: E402
+sys.path.insert(0, '/root/reference')
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # gms.common imports torchvision at module level just for MNIST loading; we
-# only need its model classes, so stub torchvision out (it is not installed).
-import types  # noqa: E402
-
+# only need the model classes, so stub it out (not installed here).
 _tv = types.ModuleType('torchvision')
 _tr = types.ModuleType('torchvision.transforms')
 _tr.ToTensor = object
@@ -33,51 +41,32 @@ sys.modules.setdefault('torchvision', _tv)
 sys.modules.setdefault('torchvision.transforms', _tr)
 sys.modules.setdefault('torchvision.datasets', _ds)
 
+from gms.common import AttrDict  # noqa: E402
 
-def time_diffusion(bs=64, hidden=128, n=5):
-    from functools import partial
+CURVE_BS = 32
+TIME_BS = 64  # reference default workload (gms/main.py:22)
 
-    from gms.diffusion.gaussian_diffusion import GaussianDiffusion
-    from gms.diffusion.simple_unet import SimpleUnet
-
-    net = SimpleUnet(hidden, 0.0)
-    diffusion = GaussianDiffusion(mean_type='v', num_steps=250)
-    optimizer = torch.optim.Adam(net.parameters(), lr=3e-4)
-    x = torch.randn(bs, 1, 28, 28)
-    y = torch.randint(0, 10, (bs,))
-
-    def step():
-        optimizer.zero_grad()
-        metrics = diffusion.training_losses(net=partial(net, guide=y), x=x)
-        loss = metrics['loss'].mean()
-        loss.backward()
-        optimizer.step()
-
-    step()  # warmup
-    t0 = time.perf_counter()
-    for _ in range(n):
-        step()
-    return n / (time.perf_counter() - t0)
+MAIN_DEFAULTS = dict(
+    bs=64, hidden_size=256, lr=3e-4, class_cond=0, binarize=1, pad32=0,
+    device='cpu',
+)
 
 
-def time_simple(model_ctor, flat=False, bs=64, n=5, binary=True):
-    model = model_ctor()
-    x = (torch.rand(bs, 1, 28, 28) > 0.5).float() if binary else torch.randn(
-        bs, 1, 28, 28
-    )
-    y = torch.randint(0, 10, (bs,))
-    model.train_step(x, y)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        model.train_step(x, y)
-    return n / (time.perf_counter() - t0)
+def make_G(Model=None, **overrides):
+    G = AttrDict(dict(MAIN_DEFAULTS))
+    if Model is not None and hasattr(Model, 'DG'):
+        for k, v in Model.DG.items():
+            G[k] = v
+    for k, v in overrides.items():
+        G[k] = v
+    return G
 
 
-def main():
-    # patch the reference's hardcoded cuda default in broadcast_from_left
+def _patch_cuda_free_diffusion():
+    """The reference's broadcast_from_left hardcodes device='cuda'
+    (diffusion_utils.py:126-130); re-route to plain broadcasting."""
     from gms.diffusion import diffusion_utils
-
-    orig = diffusion_utils.broadcast_from_left
+    import gms.diffusion.gaussian_diffusion as gd
 
     def patched(x, shape):
         if isinstance(x, float):
@@ -87,41 +76,145 @@ def main():
         )
 
     diffusion_utils.broadcast_from_left = patched
-    import gms.diffusion.gaussian_diffusion as gd
-
     gd.broadcast_from_left = patched
 
-    from gms.common import AttrDict
 
-    results = {}
-    results['diffusion_steps_per_sec'] = time_diffusion()
-    print('diffusion', results['diffusion_steps_per_sec'])
+def make_diffusion_stepper():
+    """GaussianDiffusion + SimpleUnet + Adam — the reference DiffusionModel's
+    train step minus CUDA AMP (diffusion_model.py:61-74), guide-conditioned,
+    no label dropout (deterministic parity workload)."""
+    from gms.diffusion.gaussian_diffusion import GaussianDiffusion
+    from gms.diffusion.simple_unet import SimpleUnet
 
+    net = SimpleUnet(128, 0.0)
+    diffusion = GaussianDiffusion(mean_type='v', num_steps=250)
+    optimizer = torch.optim.Adam(net.parameters(), lr=3e-4)
+
+    def step(x, y):
+        optimizer.zero_grad()
+        metrics = diffusion.training_losses(net=partial(net, guide=y), x=x)
+        loss = metrics['loss'].mean()
+        loss.backward()
+        optimizer.step()
+        return {'loss': loss}
+
+    return step
+
+
+def model_specs():
+    from gms.autoregs.gated_pixel_cnn import GatedPixelCNN
     from gms.autoregs.made import MADE
-
-    G = AttrDict(hidden_size=1024, lr=3e-4, device='cpu')
-    results['made_steps_per_sec'] = time_simple(lambda: MADE(G), n=10)
-    print('made', results['made_steps_per_sec'])
-
-    from gms.vaes.vae import VAE
-
-    G = AttrDict(hidden_size=256, lr=3e-4, device='cpu', z_size=128, beta=1.0,
-                 binarize=1)
-    results['vae_steps_per_sec'] = time_simple(lambda: VAE(G), n=10)
-    print('vae', results['vae_steps_per_sec'])
-
+    from gms.autoregs.pixel_cnn import PixelCNN
     from gms.autoregs.pixel_transformer import PixelTransformer
+    from gms.autoregs.rnn import RNN
+    from gms.autoregs.wavenet import Wavenet
+    from gms.arbiters.autoencoder import Autoencoder
+    from gms.arbiters.classifier import Classifier
+    from gms.gans.gan import GAN
+    from gms.vaes.vae import VAE
+    from gms.vaes.vqvae import VQVAE
 
-    G = AttrDict(hidden_size=256, lr=1e-3, device='cpu', n_layer=2, n_head=4,
-                 n_embed=128)
-    results['pixel_transformer_steps_per_sec'] = time_simple(
-        lambda: PixelTransformer(G=G), n=10
+    def std(Model, **kw):
+        def make():
+            torch.manual_seed(0)
+            m = Model(G=make_G(Model, **kw))
+            return m.train_step
+
+        return make
+
+    # name -> (make_stepper, primary metric key, binarize, curve steps, time n)
+    return {
+        'made': (std(MADE), 'nlogp', 1, 48, 10),
+        'rnn': (std(RNN), 'nlogp', 1, 24, 5),
+        'wavenet': (std(Wavenet), 'nlogp', 1, 16, 3),
+        'pixel_cnn': (std(PixelCNN), 'nlogp', 1, 16, 3),
+        'gated_pixel_cnn': (std(GatedPixelCNN), 'nlogp', 1, 16, 3),
+        'pixel_transformer': (std(PixelTransformer), 'nlogp', 1, 12, 3),
+        'vae': (std(VAE), 'vae_loss', 1, 48, 10),
+        'vqvae': (std(VQVAE), 'vq_vae_loss', 1, 16, 3),
+        'gan': (std(GAN, binarize=0), 'disc/loss', 0, 32, 5),
+        'autoencoder': (std(Autoencoder, binarize=0), 'full_loss', 0, 48, 10),
+        'classifier': (std(Classifier, binarize=0), 'cross_entropy_loss', 0, 48, 10),
+        'diffusion': (
+            lambda: (torch.manual_seed(0), make_diffusion_stepper())[1],
+            'loss', 0, 12, 3,
+        ),
+    }
+
+
+def to_torch(x_nhwc, y):
+    return (
+        torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2))),
+        torch.from_numpy(np.asarray(y).astype(np.int64)),
     )
-    print('pixel_transformer', results['pixel_transformer_steps_per_sec'])
 
-    out = Path(__file__).parent.parent / 'reference_cpu_baseline.json'
-    out.write_text(json.dumps(results, indent=2))
-    print('wrote', out)
+
+def main():
+    from generative_models_tpu.data.parity import parity_batches
+
+    _patch_cuda_free_diffusion()
+    torch.set_num_threads(1)
+
+    only = {a.split('=')[1] for a in sys.argv[1:] if a.startswith('--only=')}
+    out_path = Path(__file__).parent.parent / 'reference_cpu_baseline.json'
+    if only and out_path.exists():  # merge mode: re-record selected models
+        results = json.loads(out_path.read_text())
+        results.setdefault('curves', {})
+    else:
+        results = {'curves': {}, 'meta': {
+            'curve_bs': CURVE_BS, 'time_bs': TIME_BS, 'data': 'digits-upsampled',
+            'train_n': 4096, 'seed': 0,
+        }}
+
+    # shared parity batches, one set per binarize flag (48 steps x 32 = 1536)
+    max_steps = 48
+    batches = {
+        b: parity_batches(4096, CURVE_BS, max_steps, binarize=b) for b in (0, 1)
+    }
+
+    for name, (make, key, binarize, steps, time_n) in model_specs().items():
+        if only and name not in only:
+            continue
+        t_build = time.perf_counter()
+        # ---- seeded loss curve on the shared data ----
+        stepper = make()
+        bx, by = batches[binarize]
+        curve = []
+        all_curves = {}
+        torch.manual_seed(1)
+        for i in range(steps):
+            x, y = to_torch(bx[i], by[i])
+            metrics = stepper(x, y)
+            curve.append(float(metrics[key]))
+            for k, v in metrics.items():
+                try:
+                    all_curves.setdefault(k, []).append(float(v))
+                except (TypeError, ValueError):
+                    pass
+        results['curves'][name] = {
+            'key': key, 'bs': CURVE_BS, 'steps': steps, 'binarize': binarize,
+            'curve': curve, 'all': all_curves,
+        }
+
+        # ---- throughput at the reference default workload (bs=64) ----
+        stepper = make()
+        x64, y64 = to_torch(
+            np.concatenate([bx[0], bx[1]], 0), np.concatenate([by[0], by[1]], 0)
+        )
+        stepper(x64, y64)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(time_n):
+            stepper(x64, y64)
+        sps = time_n / (time.perf_counter() - t0)
+        results[f'{name}_steps_per_sec'] = sps
+        print(
+            f'{name}: {sps:.4f} steps/s (bs=64), curve {curve[0]:.4f} -> '
+            f'{curve[-1]:.4f} [{time.perf_counter() - t_build:.1f}s total]',
+            flush=True,
+        )
+
+    out_path.write_text(json.dumps(results, indent=2))
+    print('wrote', out_path)
 
 
 if __name__ == '__main__':
