@@ -13,6 +13,12 @@ GOLDEN = {
     'made': 0.6932026743888855,
     'vae': 0.7946367263793945,
     'diffusion': 49.48776626586914,
+    # twin-optimizer models (riskiest state handling): capture via
+    # scripts/capture_goldens.py
+    'gan_disc': 1.3839412927627563,
+    'gan_gen': 0.6934234499931335,
+    'vqvae': 0.6948038339614868,
+    'vqvae_prior': 2.3010213375091553,
 }
 
 
@@ -53,6 +59,34 @@ def test_vae_loss_curve(batches):
     v = VAE(make_G(VAE))
     mets = v.train_epoch(xb, yb)
     np.testing.assert_allclose(float(mets['vae_loss']), GOLDEN['vae'], rtol=2e-3)
+
+
+def test_gan_loss_curve(batches):
+    from generative_models_tpu.models.gan import GAN
+
+    _, xs, yb = batches
+    g = GAN(make_G(GAN))
+    mets = g.train_epoch(xs, yb)
+    np.testing.assert_allclose(
+        float(mets['disc/loss']), GOLDEN['gan_disc'], rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        float(mets['gen/loss']), GOLDEN['gan_gen'], rtol=2e-3
+    )
+
+
+def test_vqvae_loss_curve(batches):
+    from generative_models_tpu.models.vqvae import VQVAE
+
+    xb, _, yb = batches
+    v = VQVAE(make_G(VQVAE, vqD=16, vqK=16, n_embed=32, n_head=4, n_layer=1))
+    mets = v.train_epoch(xb, yb)
+    np.testing.assert_allclose(
+        float(mets['vq_vae_loss']), GOLDEN['vqvae'], rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        float(mets['prior_loss']), GOLDEN['vqvae_prior'], rtol=2e-3
+    )
 
 
 def test_diffusion_loss_curve(batches):
