@@ -8,9 +8,27 @@ lands in HBM. This is the single-chip analog of ring attention and the
 long-context building block (parallel/ring_attention.py wraps it with
 shard_map + collective permutes over a 'seq' mesh axis).
 
-The backward pass recomputes attention in XLA (flash-style recompute: saves
-only q, k, v between fwd and bwd). A hand-written flash backward kernel can
-replace it without touching callers.
+Layout/perf notes (TPU v5e, B=64 H=4 T=784 D=32 — the pixel_transformer
+training shape; measured on chip):
+  - head_dim stays UNPADDED in HBM; only VMEM blocks pay the 32->128 lane
+    padding. An earlier version materialized (BH, Tp, 128) f32 copies of
+    q/k/v in HBM, which made the kernel HBM-bound and slower than dense.
+  - one program per GROUP of batch*head slices (grid over BH/G only); the
+    causal block structure is a STATIC double loop (qi, ki<=qi) so 43% of
+    block-pairs are skipped at compile time and only diagonal blocks pay
+    the tril mask. A dynamic fori_loop bound defeats Mosaic's pipelining
+    and ran no faster than computing everything.
+  - matmul inputs are bf16 on TPU (f32 accumulation via
+    preferred_element_type), f32 in interpret mode so CPU tests check the
+    exact algorithm.
+  - at D=32 the MXU runs at ~3-7% peak regardless of blocking (measured:
+    XLA's own bare QK^T batched matmul takes 1.95 ms; this kernel does the
+    whole fused causal attention in ~1.9 ms fwd). The shape, not the
+    schedule, is the ceiling.
+
+The backward is hand-written flash-style: saves only (q, k, v, o, lse) and
+recomputes P blockwise in ONE fused kernel producing dQ, dK and dV (the
+S/P recompute is shared across the three gradients).
 """
 
 import functools
@@ -28,6 +46,20 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _pick_blk(T):
+    """(block size, padded T). Prefer a block that divides T exactly (so no
+    HBM pad/unpad copies are needed; sublane granularity is 8): T=784 ->
+    112. Otherwise pad T to a 128 multiple."""
+    if T % 8 == 0:
+        best = 0
+        for d in range(40, 145, 8):
+            if T % d == 0:
+                best = d
+        if best:
+            return best, T
+    return 128, _round_up(T, 128)
+
+
 def _on_tpu():
     return jax.default_backend() == 'tpu'
 
@@ -43,192 +75,164 @@ def xla_causal_attention(q, k, v, t_valid=None):
     return jnp.einsum('bhqk,bhkd->bhqd', att, v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq, bk, n_kv, scale):
-    """One (batch*head, q_block) program: stream causal KV blocks with an
-    online-softmax accumulator."""
-    qi = pl.program_id(1)
-    q = q_ref[0] * scale  # (bq, D)
-    D = q.shape[-1]
-
-    def body(kv_i, carry):
-        acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(kv_i * bk, bk), :]  # (bk, D)
-        v_blk = v_ref[0, pl.ds(kv_i * bk, bk), :]
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (bq, bk)
-        # causal mask across blocks
-        q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        k_pos = kv_i * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where(q_pos >= k_pos, s, NEG_INF)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
-
-    # only blocks with k_start <= q_end participate (causal)
-    n_blocks = jnp.minimum((qi + 1) * bq // bk + ((qi + 1) * bq % bk != 0), n_kv)
-    acc0 = jnp.zeros((bq, D), jnp.float32)
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
-    o_ref[0] = acc / jnp.maximum(l, 1e-30)
-    # row logsumexp, saved for the backward kernels' softmax recompute.
-    # lse is laid out (BH, 1, T) with a full-row block revisited across the
-    # q-block grid axis (TPU tiling requires the trailing dims of a block to
-    # be 8/128-divisible or span the array)
-    lse_ref[0, 0, pl.ds(qi * bq, bq)] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+def _group_size(BH, cap):
+    """Batch*head slices per program: biggest divisor of BH up to `cap`."""
+    for g in (8, 4, 2, 1):
+        if g <= cap and BH % g == 0:
+            return g
+    return 1
 
 
-def _flash_forward(q, k, v, scale, bq=128, bk=128, interpret=None):
-    """(BH, T, D) padded inputs -> (BH, T, D). `scale` must come from the
-    TRUE head dim (the last axis here is zero-padded to the lane width)."""
+def _bdot(a, b, contract_a, contract_b):
+    """Batched (leading-dim) matmul with f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _tril_mask(s, G, b):
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (G, b, b), 1)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (G, b, b), 2)
+    return jnp.where(q_pos >= k_pos, s, NEG_INF)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk, n_blk, scale):
+    """One bh-group program: static causal double loop over (q, kv) blocks
+    with an online-softmax accumulator; only diagonal blocks are masked."""
+    G = q_ref.shape[0]
+    D = q_ref.shape[-1]
+    for qi in range(n_blk):
+        q = q_ref[:, pl.ds(qi * blk, blk), :]  # (G, blk, D)
+        acc = jnp.zeros((G, blk, D), jnp.float32)
+        m = jnp.full((G, blk, 1), NEG_INF, jnp.float32)
+        l = jnp.zeros((G, blk, 1), jnp.float32)
+        for ki in range(qi + 1):
+            k_blk = k_ref[:, pl.ds(ki * blk, blk), :]
+            v_blk = v_ref[:, pl.ds(ki * blk, blk), :]
+            s = _bdot(q, k_blk, 2, 2) * scale  # (G, blk, blk) f32
+            if ki == qi:  # only the diagonal block needs the tril mask
+                s = _tril_mask(s, G, blk)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + _bdot(p.astype(q.dtype), v_blk, 2, 1)
+            m = m_new
+        o_ref[:, pl.ds(qi * blk, blk), :] = acc / jnp.maximum(l, 1e-30)
+        # row logsumexp, saved for the backward's softmax recompute
+        lse_ref[0, :, pl.ds(qi * blk, blk)] = (
+            m + jnp.log(jnp.maximum(l, 1e-30))
+        )[..., 0]
+
+
+def _flash_forward(q, k, v, scale, blk=128, interpret=None):
+    """(BH, Tp, D) inputs (D unpadded; Tp a multiple of blk) ->
+    (o (BH, Tp, D) f32, lse (BH, Tp) f32)."""
     if interpret is None:
         interpret = not _on_tpu()
     BH, T, D = q.shape
-    n_kv = T // bk
-    kernel = functools.partial(_flash_kernel, bq=bq, bk=bk, n_kv=n_kv, scale=scale)
-    return pl.pallas_call(
+    G = _group_size(BH, 8)
+    kernel = functools.partial(
+        _flash_kernel, blk=blk, n_blk=T // blk, scale=scale
+    )
+    full = pl.BlockSpec((G, T, D), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    o, lse = pl.pallas_call(
         kernel,
-        grid=(BH, T // bq),
-        in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        grid=(BH // G,),
+        in_specs=[full, full, full],
         out_specs=(
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            full,
+            pl.BlockSpec((1, G, T), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((BH, 1, T), jnp.float32),
+            jax.ShapeDtypeStruct((BH // G, G, T), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * BH * T * T * D // 2,
             bytes_accessed=4 * 4 * BH * T * D,
             transcendentals=BH * T * T // 2,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(q, k, v)
+    return o, lse.reshape(BH, T)
 
 
-def _flash_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, bq, bk, n_kv, scale
+def _flash_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref, *, blk, n_blk, scale,
 ):
-    """dQ for one (bh, q-block): stream causal KV blocks, recomputing P from
-    the saved row logsumexp."""
-    qi = pl.program_id(1)
-    q = q_ref[0]  # (bq, D)
-    do = do_ref[0]
-    lse = lse_ref[0, 0, pl.ds(qi * bq, bq)][:, None]  # (bq, 1)
-    delta = delta_ref[0, 0, pl.ds(qi * bq, bq)][:, None]
-
-    def body(kv_i, dq):
-        k_blk = k_ref[0, pl.ds(kv_i * bk, bk), :]
-        v_blk = v_ref[0, pl.ds(kv_i * bk, bk), :]
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
-        q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        k_pos = kv_i * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where(q_pos >= k_pos, s, NEG_INF)
-        p = jnp.exp(s - lse)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
-
-    n_blocks = jnp.minimum((qi + 1) * bq // bk + ((qi + 1) * bq % bk != 0), n_kv)
-    dq = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros_like(q))
-    dq_ref[0] = dq * scale
-
-
-def _flash_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, bq, bk, n_q, scale,
-):
-    """dK/dV for one (bh, kv-block): stream the causal q blocks >= this one."""
-    ki = pl.program_id(1)
-    k_blk = k_ref[0]  # (bk, D)
-    v_blk = v_ref[0]
-
-    def body(q_i, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(q_i * bq, bq), :]
-        do = do_ref[0, pl.ds(q_i * bq, bq), :]
-        lse = lse_ref[0, 0, pl.ds(q_i * bq, bq)][:, None]
-        delta = delta_ref[0, 0, pl.ds(q_i * bq, bq)][:, None]
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
-        q_pos = q_i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        k_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where(q_pos >= k_pos, s, NEG_INF)
-        p = jnp.exp(s - lse)  # (bq, bk)
-        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
-        return dk, dv
-
-    # causal: only q blocks whose end reaches this kv block's start
-    first_q = (ki * bk) // bq
-    dk0 = jnp.zeros_like(k_blk)
-    dv0 = jnp.zeros_like(v_blk)
-    dk, dv = jax.lax.fori_loop(first_q, n_q, body, (dk0, dv0))
-    dk_ref[0] = dk * scale
-    dv_ref[0] = dv
+    """Fused dQ/dK/dV for one bh-group: one static causal pass over block
+    pairs, sharing the S/P recompute. dQ accumulates in registers per
+    q-block; dK/dV accumulate into their (VMEM-resident) output blocks."""
+    G = q_ref.shape[0]
+    D = q_ref.shape[-1]
+    dk_ref[...] = jnp.zeros_like(dk_ref)
+    dv_ref[...] = jnp.zeros_like(dv_ref)
+    for qi in range(n_blk):
+        q = q_ref[:, pl.ds(qi * blk, blk), :]
+        do = do_ref[:, pl.ds(qi * blk, blk), :]
+        lse = lse_ref[0, :, pl.ds(qi * blk, blk)][..., None]  # (G, blk, 1)
+        delta = delta_ref[0, :, pl.ds(qi * blk, blk)][..., None]
+        dq = jnp.zeros((G, blk, D), jnp.float32)
+        for ki in range(qi + 1):
+            ks = pl.ds(ki * blk, blk)
+            k_blk = k_ref[:, ks, :]
+            v_blk = v_ref[:, ks, :]
+            s = _bdot(q, k_blk, 2, 2) * scale
+            if ki == qi:
+                s = _tril_mask(s, G, blk)
+            p = jnp.exp(s - lse)  # (G, blk, blk) f32
+            dp = _bdot(do, v_blk, 2, 2)
+            ds = p * (dp - delta)
+            pt = jnp.swapaxes(p.astype(q.dtype), 1, 2)
+            dst = jnp.swapaxes(ds.astype(q.dtype), 1, 2)
+            dq = dq + _bdot(ds.astype(q.dtype), k_blk, 2, 1)
+            dk_ref[:, ks, :] += _bdot(dst, q, 2, 1) * scale
+            dv_ref[:, ks, :] += _bdot(pt, do, 2, 1)
+        dq_ref[:, pl.ds(qi * blk, blk), :] = dq * scale
 
 
-def _flash_backward(q, k, v, o, lse, do, scale, bq=128, bk=128, interpret=None):
-    """(BH, T, D) padded tensors -> (dq, dk, dv)."""
+def _flash_backward(q, k, v, o, lse, do, scale, blk=128, interpret=None):
+    """(BH, Tp, D) tensors (q/k/v/do in the matmul dtype, o/lse f32) ->
+    (dq, dk, dv) f32, in one fused kernel."""
     if interpret is None:
         interpret = not _on_tpu()
     BH, T, D = q.shape
-    delta = jnp.sum(do * o, axis=-1)[:, None, :]  # (BH, 1, T)
-    n_kv = T // bk
-    n_q = T // bq
-    full = lambda b, i: (b, 0, 0)
-    row_spec = pl.BlockSpec((1, 1, T), full, memory_space=pltpu.VMEM)
-    dq = pl.pallas_call(
-        functools.partial(
-            _flash_bwd_dq_kernel, bq=bq, bk=bk, n_kv=n_kv, scale=scale
-        ),
-        grid=(BH, n_q),
-        in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            row_spec,
-            row_spec,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, bq, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
-        interpret=interpret,
-    )(q, k, v, do, lse, delta)
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _flash_bwd_dkv_kernel, bq=bq, bk=bk, n_q=n_q, scale=scale
-        ),
-        grid=(BH, n_kv),
-        in_specs=[
-            pl.BlockSpec((1, T, D), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), full, memory_space=pltpu.VMEM),
-            row_spec,
-            row_spec,
-        ],
-        out_specs=(
-            pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        ),
+    # three f32 accumulators + four inputs resident: half the fwd group size
+    G = _group_size(BH, 4)
+    delta = (
+        jnp.sum(do.astype(jnp.float32) * o, axis=-1).reshape(BH // G, G, T)
+    )
+    kernel = functools.partial(
+        _flash_bwd_kernel, blk=blk, n_blk=T // blk, scale=scale
+    )
+    full = pl.BlockSpec((G, T, D), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, G, T), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(BH // G,),
+        in_specs=[full, full, full, full, row, row],
+        out_specs=(full, full, full),
         out_shape=(
             jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
             jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * BH * T * T * D // 2,
+            bytes_accessed=7 * 4 * BH * T * D,
+            transcendentals=BH * T * T // 2,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, do, lse.reshape(BH // G, G, T), delta)
     return dq, dk, dv
 
 
@@ -236,32 +240,38 @@ def _flash_backward(q, k, v, o, lse, do, scale, bq=128, bk=128, interpret=None):
 def causal_attention(q, k, v, use_pallas=True):
     """Causal multi-head attention: (B, H, T, D) -> (B, H, T, D).
 
-    Softmax(QK^T / sqrt(D), tril-masked) @ V. Pallas flash kernel on TPU,
-    dense XLA elsewhere.
+    Softmax(QK^T / sqrt(D), tril-masked) @ V. Pallas flash kernel on TPU
+    (bf16 matmuls, f32 accumulation), dense XLA elsewhere.
     """
     return _ca_fwd(q, k, v, use_pallas)[0]
 
 
-def _pad_bhtd(x, Tp, Dp):
+def _dots_dtype():
+    # bf16 matmul inputs on the real MXU; exact f32 under interpret mode so
+    # CPU tests validate the block algorithm bit-tightly
+    return jnp.bfloat16 if _on_tpu() else jnp.float32
+
+
+def _prep_bhtd(x, Tp, dt):
+    """(B, H, T, D) -> (BH, Tp, D) in matmul dtype; T zero-padded only
+    (head_dim stays unpadded in HBM; VMEM blocks absorb lane padding)."""
     B, H, T, D = x.shape
     return jnp.pad(
-        x.reshape(B * H, T, D).astype(jnp.float32),
-        ((0, 0), (0, Tp - T), (0, Dp - D)),
+        x.reshape(B * H, T, D).astype(dt), ((0, 0), (0, Tp - T), (0, 0))
     )
 
 
 def _pallas_call_4d(q, k, v):
     B, H, T, D = q.shape
-    # pad T to a block multiple and D to lane width
-    Tp = _round_up(T, 128)
-    Dp = _round_up(D, 128)
-    out, lse = _flash_forward(
-        _pad_bhtd(q, Tp, Dp), _pad_bhtd(k, Tp, Dp), _pad_bhtd(v, Tp, Dp),
-        scale=1.0 / np.sqrt(D),
-    )
+    blk, Tp = _pick_blk(T)
+    dt = _dots_dtype()
     # padded keys beyond T are only attendable from padded queries (causal),
     # so valid rows are exact
-    return out[:, :T, :D].reshape(B, H, T, D), (out, lse)
+    out, lse = _flash_forward(
+        _prep_bhtd(q, Tp, dt), _prep_bhtd(k, Tp, dt), _prep_bhtd(v, Tp, dt),
+        scale=1.0 / np.sqrt(D), blk=blk,
+    )
+    return out[:, :T].reshape(B, H, T, D), (out, lse)
 
 
 def _ca_fwd(q, k, v, use_pallas):
@@ -278,13 +288,13 @@ def _ca_bwd(use_pallas, res, g):
         _, vjp = jax.vjp(xla_causal_attention, q, k, v)
         return vjp(g)
     B, H, T, D = q.shape
-    Tp = _round_up(T, 128)
-    Dp = _round_up(D, 128)
+    blk, Tp = _pick_blk(T)
+    dt = _dots_dtype()
     dq, dk, dv = _flash_backward(
-        _pad_bhtd(q, Tp, Dp), _pad_bhtd(k, Tp, Dp), _pad_bhtd(v, Tp, Dp),
-        o_pad, lse, _pad_bhtd(g, Tp, Dp), scale=1.0 / np.sqrt(D),
+        _prep_bhtd(q, Tp, dt), _prep_bhtd(k, Tp, dt), _prep_bhtd(v, Tp, dt),
+        o_pad, lse, _prep_bhtd(g, Tp, dt), scale=1.0 / np.sqrt(D), blk=blk,
     )
-    unpad = lambda x: x[:, :T, :D].reshape(B, H, T, D)
+    unpad = lambda x: x[:, :T].reshape(B, H, T, D)
     return unpad(dq), unpad(dk), unpad(dv)
 
 
