@@ -32,6 +32,7 @@ class CausalConv1x2(nn.Module):
     features: int
     dilation: int = 1
     a_type: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_prev=None):
@@ -43,20 +44,33 @@ class CausalConv1x2(nn.Module):
             'kernel', nn.initializers.lecun_normal(), (2, in_c, self.features)
         )
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        # params live in f32; matmuls run in self.dtype (bf16 on TPU) with
+        # f32 accumulation — a kernel-2 dilated causal conv is exactly two
+        # shifted matmuls, which XLA tiles straight onto the MXU
+        k = kernel.astype(self.dtype)
         if x_prev is None:
-            pad = 2 if self.a_type else self.dilation
-            dilation = 1 if self.a_type else self.dilation
-            out = jax.lax.conv_general_dilated(
-                jnp.pad(x, ((0, 0), (pad, 0), (0, 0))),
-                kernel,
-                window_strides=(1,),
-                padding='VALID',
-                rhs_dilation=(dilation,),
-                dimension_numbers=('NWC', 'WIO', 'NWC'),
+            xc = x.astype(self.dtype)
+            T = x.shape[1]
+            if self.a_type:  # y_t = K0 x_{t-2} + K1 x_{t-1}
+                s2 = jnp.pad(xc, ((0, 0), (2, 0), (0, 0)))[:, :T]
+                s1 = jnp.pad(xc, ((0, 0), (1, 0), (0, 0)))[:, :T]
+            else:  # y_t = K0 x_{t-d} + K1 x_t
+                s2 = jnp.pad(xc, ((0, 0), (self.dilation, 0), (0, 0)))[:, :T]
+                s1 = xc
+            out = (
+                jnp.einsum('btc,cf->btf', s2, k[0], preferred_element_type=jnp.float32)
+                + jnp.einsum('btc,cf->btf', s1, k[1], preferred_element_type=jnp.float32)
             )
-            out = out + bias
-            return out[:, :-1] if self.a_type else out
-        return x_prev @ kernel[0] + x @ kernel[1] + bias
+            # accumulate f32, then drop to the compute dtype so the gate /
+            # residual elementwise chain runs at bf16 VPU rate on TPU
+            return (out + bias).astype(self.dtype)
+        return (
+            jnp.einsum('bc,cf->bf', x_prev.astype(self.dtype), k[0],
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum('bc,cf->bf', x.astype(self.dtype), k[1],
+                         preferred_element_type=jnp.float32)
+            + bias
+        ).astype(self.dtype)
 
 
 class GatedResidualBlock(nn.Module):
@@ -64,10 +78,13 @@ class GatedResidualBlock(nn.Module):
 
     res_channels: int
     dilation: int
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.dilated = CausalConv1x2(2 * self.res_channels, self.dilation)
-        self.res1x1 = nn.Dense(self.res_channels)
+        self.dilated = CausalConv1x2(
+            2 * self.res_channels, self.dilation, dtype=self.dtype
+        )
+        self.res1x1 = nn.Dense(self.res_channels, dtype=self.dtype)
 
     def _gate(self, out):
         o1, o2 = jnp.split(out, 2, axis=-1)
@@ -84,20 +101,25 @@ class WavenetNet(nn.Module):
     res_channels: int
     use_resblock: bool = True
     layer_size: int = 9  # largest dilation 2^8 covers the 784-pixel context
+    dtype: jnp.dtype = jnp.float32  # matmul dtype (bf16 on TPU); params f32
 
     def setup(self):
-        self.causal = CausalConv1x2(self.res_channels, a_type=True)
+        self.causal = CausalConv1x2(self.res_channels, a_type=True, dtype=self.dtype)
         if self.use_resblock:
             self.stack = [
-                GatedResidualBlock(self.res_channels, 2**i, name=f'block{i}')
+                GatedResidualBlock(
+                    self.res_channels, 2**i, dtype=self.dtype, name=f'block{i}'
+                )
                 for i in range(self.layer_size)
             ]
         else:
             self.stack = [
-                CausalConv1x2(self.res_channels, 2**i, name=f'conv{i}')
+                CausalConv1x2(
+                    self.res_channels, 2**i, dtype=self.dtype, name=f'conv{i}'
+                )
                 for i in range(self.layer_size)
             ]
-        self.out_dense = nn.Dense(1)
+        self.out_dense = nn.Dense(1)  # logits stay f32
 
     def __call__(self, x):  # (B, T, 3) -> (B, T) logits
         x = self.causal(x)
@@ -111,7 +133,8 @@ class WavenetNet(nn.Module):
         per dilated layer (zeros == the full path's left pad)."""
         a_buf = jnp.zeros((n, in_channels))
         rings = tuple(
-            jnp.zeros((n, 2**i, self.res_channels)) for i in range(self.layer_size)
+            jnp.zeros((n, 2**i, self.res_channels), self.dtype)
+            for i in range(self.layer_size)
         )
         return a_buf, rings
 
@@ -147,8 +170,12 @@ class Wavenet(Autoreg):
         self._jit_sample = jax.jit(self.sample_fn, static_argnums=1)
 
     def build(self):
+        from generative_models_tpu.ops import on_tpu
+
         return WavenetNet(
-            res_channels=self.G.hidden_size, use_resblock=bool(self.G.use_resblock)
+            res_channels=self.G.hidden_size,
+            use_resblock=bool(self.G.use_resblock),
+            dtype=jnp.bfloat16 if on_tpu() else jnp.float32,
         )
 
     def example_input(self):
