@@ -6,7 +6,15 @@ TPU-native: NHWC layout means the reference's permute-LayerNorm-permute
 wrapper (pixel_cnn.py:137-144) disappears — LayerNorm is native on the last
 axis. Masks are pure constants multiplied into the conv kernel at apply time
 (the reference mutates weights in-place per forward in the gated variant).
-Sampling is one jitted 784-step lax.scan of full forwards.
+
+Sampling is INCREMENTAL wavefront decoding (one jitted 784-step lax.scan):
+because every masked-conv activation at position q depends only on input
+pixels strictly before q in raster order, the activation at q is FINAL the
+moment the sampling cursor reaches q. So each step computes exactly ONE
+position per spatial conv against cached per-layer canvases (a k x k window
+dot), instead of the reference's full 28x28 forward per pixel
+(pixel_cnn.py:73-81). Exact equivalence with the full forward is tested in
+tests/test_causality.py.
 """
 
 import flax.linen as nn
@@ -38,7 +46,10 @@ class MaskConv2d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, window=False):
+        """window=False: x is a full (B, H, W, C) image, SAME padding.
+        window=True: x is one (B, k, k, C) patch centered on a single output
+        position; returns that position's (B, features) output."""
         k = self.kernel_size
         kernel = self.param(
             'kernel',
@@ -46,28 +57,49 @@ class MaskConv2d(nn.Module):
             (k, k, x.shape[-1], self.features),
         )
         mask = pixelcnn_mask(k, self.mask_type)
-        y = jax.lax.conv_general_dilated(
-            x, kernel * mask, window_strides=(1, 1), padding='SAME',
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        )
+        if window:
+            y = jnp.einsum('nhwc,hwcf->nf', x, kernel * mask)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel * mask, window_strides=(1, 1), padding='SAME',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            )
         if self.use_bias:
             y = y + self.param('bias', nn.initializers.zeros, (self.features,))
         return y
 
 
 class PixelResBlock(nn.Module):
-    """bottleneck 1x1 -> masked 7x7 -> 1x1 with skip (pixel_cnn.py:111-134)."""
+    """bottleneck 1x1 -> masked 7x7 -> 1x1 with skip (pixel_cnn.py:111-134).
+
+    setup-based with the flax auto-names (MaskConv2d_0..2) so param paths
+    and init RNG streams are identical to the former nn.compact version."""
 
     channels: int
 
-    @nn.compact
+    def setup(self):
+        self.conv_a = MaskConv2d('B', self.channels // 2, 1, name='MaskConv2d_0')
+        self.conv_mid = MaskConv2d('B', self.channels // 2, 7, name='MaskConv2d_1')
+        self.conv_b = MaskConv2d('B', self.channels, 1, name='MaskConv2d_2')
+
     def __call__(self, x):
         h = nn.relu(x)
-        h = MaskConv2d('B', self.channels // 2, 1)(h)
+        h = self.conv_a(h)
         h = nn.relu(h)
-        h = MaskConv2d('B', self.channels // 2, 7)(h)
+        h = self.conv_mid(h)
         h = nn.relu(h)
-        h = MaskConv2d('B', self.channels, 1)(h)
+        h = self.conv_b(h)
+        return x + h
+
+    # decode path: the mid 7x7 conv needs a canvas of its input
+    def step_pre(self, x):
+        """(B, C) -> the (B, C//2) vector that feeds the 7x7 conv."""
+        return nn.relu(self.conv_a(x[:, None, None, :], window=True))
+
+    def step_post(self, x, w):
+        """x: (B, C) block input; w: (B, 7, 7, C//2) mid-conv window."""
+        h = nn.relu(self.conv_mid(w, window=True))
+        h = self.conv_b(h[:, None, None, :], window=True)
         return x + h
 
 
@@ -77,21 +109,97 @@ class PixelCNNNet(nn.Module):
     kernel_size: int
     use_resblock: bool
 
-    @nn.compact
+    def setup(self):
+        # names replicate the former nn.compact auto-naming exactly
+        self.conv_in = MaskConv2d(
+            'A', self.n_filters, self.kernel_size, name='MaskConv2d_0'
+        )
+        self.lns = [
+            nn.LayerNorm(name=f'LayerNorm_{i}') for i in range(self.n_layers)
+        ]
+        if self.use_resblock:
+            self.blocks = [
+                PixelResBlock(self.n_filters, name=f'PixelResBlock_{i}')
+                for i in range(self.n_layers)
+            ]
+            out_base = 1
+        else:
+            self.blocks = [
+                MaskConv2d(
+                    'B', self.n_filters, self.kernel_size,
+                    name=f'MaskConv2d_{i + 1}',
+                )
+                for i in range(self.n_layers)
+            ]
+            out_base = self.n_layers + 1
+        self.conv_out1 = MaskConv2d(
+            'B', self.n_filters, 1, name=f'MaskConv2d_{out_base}'
+        )
+        self.conv_out2 = MaskConv2d('B', 1, 1, name=f'MaskConv2d_{out_base + 1}')
+
     def __call__(self, x):  # (B, H, W, 1) -> logits same shape
-        x = MaskConv2d('A', self.n_filters, self.kernel_size)(x)
-        for _ in range(self.n_layers):
-            x = nn.LayerNorm()(x)
+        x = self.conv_in(x)
+        for i in range(self.n_layers):
+            x = self.lns[i](x)
+            x = nn.relu(x)
+            x = self.blocks[i](x)
+        x = nn.relu(x)
+        x = self.conv_out1(x)
+        x = nn.relu(x)
+        x = self.conv_out2(x)
+        return x
+
+    # ---------------------- incremental wavefront decode ----------------------
+    # One canvas per spatial (k>1) conv, holding that conv's INPUT plane,
+    # zero-padded by k//2 on each spatial edge. A position's activation only
+    # reads raster-earlier positions, so canvases filled in cursor order are
+    # always valid. 1x1 convs and LayerNorm are positionwise: no canvas.
+
+    def init_canvases(self, n, side):
+        p = self.kernel_size // 2
+        hw = side + 2 * p
+        c0 = jnp.zeros((n, hw, hw, 1))
+        mid_c = self.n_filters // 2 if self.use_resblock else self.n_filters
+        layer_canvases = tuple(
+            jnp.zeros((n, hw, hw, mid_c)) for _ in range(self.n_layers)
+        )
+        return c0, layer_canvases
+
+    def decode_step(self, canvases, r, c):
+        """Compute the logit for position (r, c) (unpadded coords; traced)
+        and write this position's activations into the canvases.
+        Returns (logit (B,), canvases)."""
+        k = self.kernel_size
+        p = k // 2
+        c0, layer_canvases = canvases
+        n = c0.shape[0]
+        # window whose center is (r+p, c+p) in padded coords starts at (r, c)
+        w = jax.lax.dynamic_slice(c0, (0, r, c, 0), (n, k, k, 1))
+        x = self.conv_in(w, window=True)  # (n, F)
+        new_canvases = []
+        for i in range(self.n_layers):
+            x = self.lns[i](x)
             x = nn.relu(x)
             if self.use_resblock:
-                x = PixelResBlock(self.n_filters)(x)
+                v = self.blocks[i].step_pre(x)
             else:
-                x = MaskConv2d('B', self.n_filters, self.kernel_size)(x)
+                v = x
+            canvas = jax.lax.dynamic_update_slice(
+                layer_canvases[i], v[:, None, None, :], (0, r + p, c + p, 0)
+            )
+            new_canvases.append(canvas)
+            w = jax.lax.dynamic_slice(
+                canvas, (0, r, c, 0), (n, k, k, v.shape[-1])
+            )
+            if self.use_resblock:
+                x = self.blocks[i].step_post(x, w)
+            else:
+                x = self.blocks[i](w, window=True)
         x = nn.relu(x)
-        x = MaskConv2d('B', self.n_filters, 1)(x)
+        x = self.conv_out1(x[:, None, None, :], window=True)
         x = nn.relu(x)
-        x = MaskConv2d('B', 1, 1)(x)
-        return x
+        logit = self.conv_out2(x[:, None, None, :], window=True)[:, 0]
+        return logit, (c0, tuple(new_canvases))
 
 
 @register
@@ -124,6 +232,41 @@ class PixelCNN(Autoreg):
 
     def sample_fn(self, state, n, rng):
         side = self.side
+        p = self.G.kernel_size // 2
+
+        def body(canvases, inp):
+            i, key = inp
+            r, c = i // side, i % side
+            logit, canvases = self.net.apply(
+                {'params': state.params}, canvases, r, c,
+                method=PixelCNNNet.decode_step,
+            )
+            pix = dists.Bernoulli(logits=logit).sample(key)  # (n,)
+            c0, layer_canvases = canvases
+            c0 = jax.lax.dynamic_update_slice(
+                c0, pix[:, None, None, None], (0, r + p, c + p, 0)
+            )
+            frame = c0[:, p:p + side, p:p + side, :]
+            return (c0, layer_canvases), frame
+
+        keys = jax.random.split(rng, self.canvas_size)
+        canvases0 = self.net.apply(
+            {'params': state.params}, n, side, method=PixelCNNNet.init_canvases
+        )
+        canvases, frames = jax.lax.scan(
+            body, canvases0, (jnp.arange(self.canvas_size), keys)
+        )
+        samples = canvases[0][:, p:p + side, p:p + side, :]
+        return samples, frames
+
+    def sample(self, n):
+        return self._jit_sample(self.state, n, self.next_rng())
+
+    def sample_fn_full(self, state, n, rng):
+        """Full-forward-per-pixel sampling scan (the reference's strategy,
+        pixel_cnn.py:73-81, on device). Kept for nets without an incremental
+        decode path (GatedPixelCNN) and as the equivalence oracle in tests."""
+        side = self.side
 
         def body(canvas, inp):
             i, key = inp
@@ -139,6 +282,3 @@ class PixelCNN(Autoreg):
             body, canvas0, (jnp.arange(self.canvas_size), keys)
         )
         return samples, frames
-
-    def sample(self, n):
-        return self._jit_sample(self.state, n, self.next_rng())
