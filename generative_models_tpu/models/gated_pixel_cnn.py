@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from generative_models_tpu.models.pixel_cnn import MaskConv2d, PixelCNN
-from generative_models_tpu.utils import dists, register
+from generative_models_tpu.utils import register
 from generative_models_tpu.utils.config import AttrDict
 
 
@@ -191,7 +191,7 @@ class GatedPixelCNNNet(nn.Module):
             hfin=z(F),
         )
 
-    def _row_update(self, cv, r, side):
+    def _row_update(self, cv, r):
         """Compute v-stack activations for row r-1 (just completed), all
         layers in order, writing vo[i] rows and v[i+1] rows."""
         k = self.kernel_size
@@ -221,7 +221,7 @@ class GatedPixelCNNNet(nn.Module):
                 src = strip_at(v[i])
         return dict(cv, vo=tuple(vo), v=tuple(v))
 
-    def decode_step(self, cv, r, c, side):
+    def decode_step(self, cv, r, c):
         """Logit for position (r, c) (unpadded coords; traced). Runs the
         per-row v update when entering a new row, then the per-pixel
         h-chain. Returns (logit (B,), canvases)."""
@@ -232,7 +232,7 @@ class GatedPixelCNNNet(nn.Module):
 
         cv = jax.lax.cond(
             jnp.logical_and(c == 0, r > 0),
-            lambda cv: self._row_update(cv, r, side),
+            lambda cv: self._row_update(cv, r),
             lambda cv: cv,
             cv,
         )
@@ -291,32 +291,14 @@ class GatedPixelCNN(PixelCNN):
             kernel_size=self.G.kernel_size,
         )
 
-    def sample_fn(self, state, n, rng):
-        side = self.side
-        p = self.G.kernel_size // 2
+    # hooks for the sampling-scan template in PixelCNN.sample_fn
+    _decode_step = staticmethod(GatedPixelCNNNet.decode_step)
+    _init_canvases = staticmethod(GatedPixelCNNNet.init_canvases)
 
-        def body(cv, inp):
-            i, key = inp
-            r, c = i // side, i % side
-            logit, cv = self.net.apply(
-                {'params': state.params}, cv, r, c, side,
-                method=GatedPixelCNNNet.decode_step,
-            )
-            pix = dists.Bernoulli(logits=logit).sample(key)  # (n,)
-            c0 = jax.lax.dynamic_update_slice(
-                cv['c0'], pix[:, None, None, None], (0, r + p, c + p, 0)
-            )
-            cv = dict(cv, c0=c0)
-            frame = c0[:, p:p + side, p:p + side, :]
-            return cv, frame
+    @staticmethod
+    def _get_c0(cv):
+        return cv['c0']
 
-        keys = jax.random.split(rng, self.canvas_size)
-        cv0 = self.net.apply(
-            {'params': state.params}, n, side,
-            method=GatedPixelCNNNet.init_canvases,
-        )
-        cv, frames = jax.lax.scan(
-            body, cv0, (jnp.arange(self.canvas_size), keys)
-        )
-        samples = cv['c0'][:, p:p + side, p:p + side, :]
-        return samples, frames
+    @staticmethod
+    def _set_c0(cv, c0):
+        return dict(cv, c0=c0)

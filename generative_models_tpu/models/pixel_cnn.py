@@ -230,7 +230,22 @@ class PixelCNN(Autoreg):
         loss = -dists.Bernoulli(logits=logits).log_prob(x).mean()
         return loss, {'nlogp': loss}
 
+    # hooks the gated subclass overrides: how to read/write the input
+    # canvas inside the incremental sampling scan
+    _decode_step = staticmethod(PixelCNNNet.decode_step)
+    _init_canvases = staticmethod(PixelCNNNet.init_canvases)
+
+    @staticmethod
+    def _get_c0(canvases):
+        return canvases[0]
+
+    @staticmethod
+    def _set_c0(canvases, c0):
+        return (c0, canvases[1])
+
     def sample_fn(self, state, n, rng):
+        """Incremental-decode sampling scan, shared with GatedPixelCNN via
+        the _decode_step/_init_canvases/_get_c0/_set_c0 hooks."""
         side = self.side
         p = self.G.kernel_size // 2
 
@@ -239,46 +254,25 @@ class PixelCNN(Autoreg):
             r, c = i // side, i % side
             logit, canvases = self.net.apply(
                 {'params': state.params}, canvases, r, c,
-                method=PixelCNNNet.decode_step,
+                method=self._decode_step,
             )
             pix = dists.Bernoulli(logits=logit).sample(key)  # (n,)
-            c0, layer_canvases = canvases
             c0 = jax.lax.dynamic_update_slice(
-                c0, pix[:, None, None, None], (0, r + p, c + p, 0)
+                self._get_c0(canvases), pix[:, None, None, None],
+                (0, r + p, c + p, 0),
             )
             frame = c0[:, p:p + side, p:p + side, :]
-            return (c0, layer_canvases), frame
+            return self._set_c0(canvases, c0), frame
 
         keys = jax.random.split(rng, self.canvas_size)
         canvases0 = self.net.apply(
-            {'params': state.params}, n, side, method=PixelCNNNet.init_canvases
+            {'params': state.params}, n, side, method=self._init_canvases
         )
         canvases, frames = jax.lax.scan(
             body, canvases0, (jnp.arange(self.canvas_size), keys)
         )
-        samples = canvases[0][:, p:p + side, p:p + side, :]
+        samples = self._get_c0(canvases)[:, p:p + side, p:p + side, :]
         return samples, frames
 
     def sample(self, n):
         return self._jit_sample(self.state, n, self.next_rng())
-
-    def sample_fn_full(self, state, n, rng):
-        """Full-forward-per-pixel sampling scan (the reference's strategy,
-        pixel_cnn.py:73-81, on device). Kept for nets without an incremental
-        decode path (GatedPixelCNN) and as the equivalence oracle in tests."""
-        side = self.side
-
-        def body(canvas, inp):
-            i, key = inp
-            r, c = i // side, i % side
-            logits = self.net.apply({'params': state.params}, canvas)
-            pix = dists.Bernoulli(logits=logits[:, r, c, 0]).sample(key)
-            canvas = canvas.at[:, r, c, 0].set(pix)
-            return canvas, canvas
-
-        keys = jax.random.split(rng, self.canvas_size)
-        canvas0 = jnp.zeros((n, side, side, 1), jnp.float32)
-        samples, frames = jax.lax.scan(
-            body, canvas0, (jnp.arange(self.canvas_size), keys)
-        )
-        return samples, frames

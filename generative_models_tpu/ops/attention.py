@@ -60,6 +60,40 @@ def _pick_blk(T):
     return 128, _round_up(T, 128)
 
 
+_LANE = 128  # D pads to the lane width inside VMEM blocks
+_VMEM_BUDGET = 10 * 1024 * 1024  # resident working set per program
+_MAX_STATIC_BLOCKS = 12  # above this the unrolled double loop bloats compiles
+
+
+def _plan(T):
+    """Pick the kernel strategy for sequence length T.
+
+    'static'  : whole sequence resident per program, fully unrolled causal
+                double loop — fastest at the zoo's T<=~1.5k shapes.
+    'streamed': grid over (bh-group, q-block) with a dynamic causal
+                fori_loop over KV blocks — only K/V stay resident, so it
+                scales to long context.
+    'dense'   : XLA fallback when even a single K/V copy cannot fit VMEM.
+    """
+    blk, Tp = _pick_blk(T)
+    if Tp // blk <= _MAX_STATIC_BLOCKS:
+        return 'static', blk, Tp
+    Tp = _round_up(T, 128)
+    if Tp * _LANE * 2 * 2 <= _VMEM_BUDGET:  # bf16 K+V resident at G=1
+        return 'streamed', 128, Tp
+    return 'dense', None, None
+
+
+def _vmem_fit_group(BH, Tp, resident_f32_equiv, cap):
+    """Largest bh-group whose resident full-T footprint fits the budget.
+    resident_f32_equiv: resident full-T tensors weighted by bytes/4."""
+    per_g = Tp * _LANE * 4 * resident_f32_equiv
+    for g in (8, 4, 2, 1):
+        if g <= cap and BH % g == 0 and g * per_g <= _VMEM_BUDGET:
+            return g
+    return 1
+
+
 def _on_tpu():
     return jax.default_backend() == 'tpu'
 
@@ -73,14 +107,6 @@ def xla_causal_attention(q, k, v, t_valid=None):
     att = jnp.where(mask[None, None], att, NEG_INF)
     att = jax.nn.softmax(att, axis=-1)
     return jnp.einsum('bhqk,bhkd->bhqd', att, v)
-
-
-def _group_size(BH, cap):
-    """Batch*head slices per program: biggest divisor of BH up to `cap`."""
-    for g in (8, 4, 2, 1):
-        if g <= cap and BH % g == 0:
-            return g
-    return 1
 
 
 def _bdot(a, b, contract_a, contract_b):
@@ -132,7 +158,8 @@ def _flash_forward(q, k, v, scale, blk=128, interpret=None):
     if interpret is None:
         interpret = not _on_tpu()
     BH, T, D = q.shape
-    G = _group_size(BH, 8)
+    # residents: q/k/v bf16 + o f32 per program
+    G = _vmem_fit_group(BH, T, 2.5, 8)
     kernel = functools.partial(
         _flash_kernel, blk=blk, n_blk=T // blk, scale=scale
     )
@@ -203,8 +230,8 @@ def _flash_backward(q, k, v, o, lse, do, scale, blk=128, interpret=None):
     if interpret is None:
         interpret = not _on_tpu()
     BH, T, D = q.shape
-    # three f32 accumulators + four inputs resident: half the fwd group size
-    G = _group_size(BH, 4)
+    # residents: q/k/v/do bf16 + dq/dk/dv f32 per program
+    G = _vmem_fit_group(BH, T, 5.0, 4)
     delta = (
         jnp.sum(do.astype(jnp.float32) * o, axis=-1).reshape(BH // G, G, T)
     )
@@ -236,6 +263,181 @@ def _flash_backward(q, k, v, o, lse, do, scale, blk=128, interpret=None):
     return dq, dk, dv
 
 
+# --------------------- streamed (long-context) kernels ---------------------
+# Grid over (bh-group, block); K/V (fwd, dQ) or Q/dO (dK/dV) are the only
+# full-T residents, streamed blockwise with a dynamic causal fori_loop. The
+# lse/delta rows use a (BH//G, G, Tp) layout so any group size satisfies the
+# TPU block-dim rules.
+
+
+def _flash_kernel_streamed(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk, scale
+):
+    qi = pl.program_id(1)
+    q = q_ref[...]  # (G, blk, D)
+    G, _, D = q.shape
+
+    def body(ki, carry):
+        acc, m, l = carry
+        k_blk = k_ref[:, pl.ds(ki * blk, blk), :]
+        v_blk = v_ref[:, pl.ds(ki * blk, blk), :]
+        s = _bdot(q, k_blk, 2, 2) * scale
+        q_pos = qi * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 1)
+        k_pos = ki * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 2)
+        s = jnp.where(q_pos >= k_pos, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + _bdot(p.astype(q.dtype), v_blk, 2, 1)
+        return acc, m_new, l
+
+    acc0 = jnp.zeros((G, blk, D), jnp.float32)
+    m0 = jnp.full((G, blk, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((G, blk, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, qi + 1, body, (acc0, m0, l0))
+    o_ref[...] = acc / jnp.maximum(l, 1e-30)
+    lse_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[..., 0]
+
+
+def _flash_forward_streamed(q, k, v, scale, blk=128, interpret=None):
+    if interpret is None:
+        interpret = not _on_tpu()
+    BH, T, D = q.shape
+    G = _vmem_fit_group(BH, T, 1.0, 8)  # residents: K+V bf16
+    n_q = T // blk
+    full = pl.BlockSpec((G, T, D), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM)
+    blkspec = pl.BlockSpec(
+        (G, blk, D), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
+    )
+    row_blk = pl.BlockSpec(
+        (1, G, blk), lambda g, i: (g, 0, i), memory_space=pltpu.VMEM
+    )
+    o, lse = pl.pallas_call(
+        functools.partial(_flash_kernel_streamed, blk=blk, scale=scale),
+        grid=(BH // G, n_q),
+        in_specs=[blkspec, full, full],
+        out_specs=(blkspec, row_blk),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH // G, G, T), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse.reshape(BH, T)
+
+
+def _flash_bwd_dq_streamed(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, blk, scale
+):
+    qi = pl.program_id(1)
+    q = q_ref[...]
+    do = do_ref[...]
+    G, _, D = q.shape
+    lse = lse_ref[0][..., None]  # (G, blk, 1)
+    delta = delta_ref[0][..., None]
+
+    def body(ki, dq):
+        k_blk = k_ref[:, pl.ds(ki * blk, blk), :]
+        v_blk = v_ref[:, pl.ds(ki * blk, blk), :]
+        s = _bdot(q, k_blk, 2, 2) * scale
+        q_pos = qi * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 1)
+        k_pos = ki * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 2)
+        s = jnp.where(q_pos >= k_pos, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = _bdot(do, v_blk, 2, 2)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        return dq + _bdot(ds, k_blk, 2, 1)
+
+    dq = jax.lax.fori_loop(0, qi + 1, body, jnp.zeros((G, blk, D), jnp.float32))
+    dq_ref[...] = dq * scale
+
+
+def _flash_bwd_dkv_streamed(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, blk, n_q, scale,
+):
+    ki = pl.program_id(1)
+    k_blk = k_ref[...]
+    v_blk = v_ref[...]
+    G, _, D = k_blk.shape
+
+    def body(q_i, carry):
+        dk, dv = carry
+        q = q_ref[:, pl.ds(q_i * blk, blk), :]
+        do = do_ref[:, pl.ds(q_i * blk, blk), :]
+        lse = lse_ref[0, :, pl.ds(q_i * blk, blk)][..., None]
+        delta = delta_ref[0, :, pl.ds(q_i * blk, blk)][..., None]
+        s = _bdot(q, k_blk, 2, 2) * scale
+        q_pos = q_i * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 1)
+        k_pos = ki * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 2)
+        s = jnp.where(q_pos >= k_pos, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        pt = jnp.swapaxes(p.astype(q.dtype), 1, 2)
+        dv = dv + _bdot(pt, do, 2, 1)
+        dp = _bdot(do, v_blk, 2, 2)
+        ds = p * (dp - delta)
+        dst = jnp.swapaxes(ds.astype(q.dtype), 1, 2)
+        dk = dk + _bdot(dst, q, 2, 1)
+        return dk, dv
+
+    z = jnp.zeros((G, blk, D), jnp.float32)
+    dk, dv = jax.lax.fori_loop(ki, n_q, body, (z, z))
+    dk_ref[...] = dk * scale
+    dv_ref[...] = dv
+
+
+def _flash_backward_streamed(q, k, v, o, lse, do, scale, blk=128, interpret=None):
+    if interpret is None:
+        interpret = not _on_tpu()
+    BH, T, D = q.shape
+    G = _vmem_fit_group(BH, T, 1.0, 8)  # residents: two bf16 full-T tensors
+    n_q = T // blk
+    delta3 = (
+        jnp.sum(do.astype(jnp.float32) * o, axis=-1).reshape(BH // G, G, T)
+    )
+    lse3 = lse.reshape(BH // G, G, T)
+    full = pl.BlockSpec((G, T, D), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM)
+    blkspec = pl.BlockSpec(
+        (G, blk, D), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
+    )
+    row_blk = pl.BlockSpec(
+        (1, G, blk), lambda g, i: (g, 0, i), memory_space=pltpu.VMEM
+    )
+    row_full = pl.BlockSpec(
+        (1, G, T), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    params = dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_streamed, blk=blk, scale=scale),
+        grid=(BH // G, n_q),
+        in_specs=[blkspec, full, full, blkspec, row_blk, row_blk],
+        out_specs=blkspec,
+        out_shape=jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
+        **params,
+    )(q, k, v, do, lse3, delta3)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_streamed, blk=blk, n_q=n_q, scale=scale),
+        grid=(BH // G, n_q),
+        in_specs=[full, blkspec, blkspec, full, row_full, row_full],
+        out_specs=(blkspec, blkspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
+        ),
+        **params,
+    )(q, k, v, do, lse3, delta3)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def causal_attention(q, k, v, use_pallas=True):
     """Causal multi-head attention: (B, H, T, D) -> (B, H, T, D).
@@ -263,11 +465,12 @@ def _prep_bhtd(x, Tp, dt):
 
 def _pallas_call_4d(q, k, v):
     B, H, T, D = q.shape
-    blk, Tp = _pick_blk(T)
+    mode, blk, Tp = _plan(T)
     dt = _dots_dtype()
+    fwd = _flash_forward if mode == 'static' else _flash_forward_streamed
     # padded keys beyond T are only attendable from padded queries (causal),
     # so valid rows are exact
-    out, lse = _flash_forward(
+    out, lse = fwd(
         _prep_bhtd(q, Tp, dt), _prep_bhtd(k, Tp, dt), _prep_bhtd(v, Tp, dt),
         scale=1.0 / np.sqrt(D), blk=blk,
     )
@@ -275,7 +478,7 @@ def _pallas_call_4d(q, k, v):
 
 
 def _ca_fwd(q, k, v, use_pallas):
-    if use_pallas:
+    if use_pallas and _plan(q.shape[2])[0] != 'dense':
         out, (o_pad, lse) = _pallas_call_4d(q, k, v)
         return out, (q, k, v, o_pad, lse)
     out = xla_causal_attention(q, k, v)
@@ -284,13 +487,14 @@ def _ca_fwd(q, k, v, use_pallas):
 
 def _ca_bwd(use_pallas, res, g):
     q, k, v, o_pad, lse = res
-    if not use_pallas:
+    if not use_pallas or o_pad is None:  # o_pad None == dense-plan forward
         _, vjp = jax.vjp(xla_causal_attention, q, k, v)
         return vjp(g)
     B, H, T, D = q.shape
-    blk, Tp = _pick_blk(T)
+    mode, blk, Tp = _plan(T)
     dt = _dots_dtype()
-    dq, dk, dv = _flash_backward(
+    bwd = _flash_backward if mode == 'static' else _flash_backward_streamed
+    dq, dk, dv = bwd(
         _prep_bhtd(q, Tp, dt), _prep_bhtd(k, Tp, dt), _prep_bhtd(v, Tp, dt),
         o_pad, lse, _prep_bhtd(g, Tp, dt), scale=1.0 / np.sqrt(D), blk=blk,
     )

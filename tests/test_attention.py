@@ -81,3 +81,27 @@ def test_transformer_cache_sampling_consistent():
         np.testing.assert_allclose(
             np.asarray(logits_t), np.asarray(full_logits[:, t]), rtol=1e-4, atol=1e-4
         )
+
+
+def test_streamed_long_context_path_matches_dense():
+    """T=1664 exceeds the static-unroll budget, so _plan routes to the
+    streamed (grid over q-blocks, dynamic causal fori_loop) kernels; both
+    forward and gradients must match dense XLA in interpret mode."""
+    from generative_models_tpu.ops.attention import _plan
+
+    assert _plan(784)[0] == 'static'
+    assert _plan(1664)[0] == 'streamed'
+    assert _plan(100000)[0] == 'dense'
+
+    q, k, v = _qkv(B=1, H=1, T=1664, D=8)
+    out_flash = causal_attention(q, k, v, True)
+    out_dense = xla_causal_attention(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_dense), rtol=2e-4, atol=2e-5
+    )
+    f1 = lambda q, k, v: jnp.sum(causal_attention(q, k, v, True) ** 2)
+    f2 = lambda q, k, v: jnp.sum(xla_causal_attention(q, k, v) ** 2)
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)

@@ -193,7 +193,7 @@ def test_gated_pixelcnn_incremental_decode_matches_full_forward():
     cv = net.apply({'params': params}, 3, side, method=GatedPixelCNNNet.init_canvases)
     step = jax.jit(
         lambda cv, r, c: net.apply(
-            {'params': params}, cv, r, c, side,
+            {'params': params}, cv, r, c,
             method=GatedPixelCNNNet.decode_step,
         )
     )
