@@ -304,10 +304,15 @@ class GaussianDiffusion:
         return z_s_pred, x_pred_t, eps_pred_t
 
     # ---------------------------------------------------------------- #
-    def sample(self, *, net, init_x, rng, cond_w=None, teacher_net=None):
+    def sample(
+        self, *, net, init_x, rng, cond_w=None, teacher_net=None,
+        return_history=True,
+    ):
         """Full reverse chain as ONE lax.scan over t = N-1..0 (reference runs
         a host Python loop, gaussian_diffusion.py:282-296). Returns stacked
-        (z, x_hat, eps_hat) histories, shape (N, *init_x.shape)."""
+        (z, x_hat, eps_hat) histories, shape (N, *init_x.shape) — or, with
+        return_history=False, just the final sample batch (the serving path:
+        no per-step history ever lands in HBM)."""
         rng_w, rng_chain = jax.random.split(rng)
         net_cond_w = (
             4.0 * jax.random.uniform(rng_w, (init_x.shape[0],))
@@ -354,9 +359,13 @@ class GaussianDiffusion:
                     cond_w=cond_w,
                 )
             z_next = jnp.where(fbc(i) == 0, x_pred, z_s)
-            return z_next, (z_next, x_pred, eps_pred)
+            hist = (z_next, x_pred, eps_pred) if return_history else None
+            return z_next, hist
 
         steps = jnp.arange(self.num_steps - 1, -1, -1, dtype=jnp.float32)
         keys = jax.random.split(rng_chain, self.num_steps)
-        _, (zs, xs, eps) = jax.lax.scan(body, init_x, (steps, keys))
+        final, hist = jax.lax.scan(body, init_x, (steps, keys))
+        if not return_history:
+            return final
+        zs, xs, eps = hist
         return zs, xs, eps

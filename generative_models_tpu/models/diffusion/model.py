@@ -196,19 +196,23 @@ class DiffusionModel(GM):
         return metrics
 
     # ---------------------------------------------------------------- #
-    def sample_chain_fn(self, state, noise, y, rng, cond_w=None):
+    def sample_chain_fn(self, state, noise, y, rng, cond_w=None,
+                        return_history=True):
         net = self._make_net(state.params, y)
         teacher_net = None
         if self.has_teacher:
             teacher_net = self._make_net(state.extra['teacher'], y)
         return self.diffusion.sample(
-            net=net, init_x=noise, rng=rng, cond_w=cond_w, teacher_net=teacher_net
+            net=net, init_x=noise, rng=rng, cond_w=cond_w,
+            teacher_net=teacher_net, return_history=return_history,
         )
 
     def sample_fn(self, state, n, y, rng):
+        # serving path: no per-step chain history is materialized
         noise = jax.random.normal(rng, (n, self.size, self.size, 1))
-        zs, _, _ = self.sample_chain_fn(state, noise, y, rng, cond_w=0.5)
-        return zs[-1]
+        return self.sample_chain_fn(
+            state, noise, y, rng, cond_w=0.5, return_history=False
+        )
 
     def sample(self, n, y=None):
         if y is None:
