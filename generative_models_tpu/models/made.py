@@ -76,12 +76,23 @@ class MADE(Autoreg):
 
     def build(self):
         from generative_models_tpu.ops import on_tpu
+        from generative_models_tpu.ops.masked_dense import prefer_pallas
 
+        # shape gate: at the default 784x1024 layers, XLA's fold-the-mask
+        # matmul measured faster than the Pallas kernel; the kernel wins
+        # once materializing mask*W per step dominates (large widths)
+        biggest = max(
+            a * b
+            for a, b in zip(
+                (self.nin,) + self.hidden_sizes,
+                self.hidden_sizes + (self.nout,),
+            )
+        )
         return MaskedMLP(
             hidden_sizes=self.hidden_sizes,
             nout=self.nout,
             masks=self.masks,
-            use_pallas=on_tpu(),
+            use_pallas=on_tpu() and prefer_pallas(1, biggest),
         )
 
     def example_input(self):

@@ -27,20 +27,34 @@ def _on_tpu():
 
 
 def _masked_matmul_kernel(x_ref, w_ref, m_ref, o_ref):
-    """o = x @ (w * m) for one (bm, bn) output tile; full K resident."""
+    """o += x @ (w * m), one (bm, bn, bk) tile; K is the innermost grid
+    axis, accumulated into the revisited output tile."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
     w = w_ref[:] * m_ref[:]
-    o_ref[:] = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    o_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
 
 
-def _mask_out_matmul_kernel(a_ref, b_ref, m_ref, o_ref):
-    """o = m * (a @ b) — used for the masked weight gradient."""
-    acc = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
-    o_ref[:] = acc * m_ref[:]
+def _mask_out_matmul_kernel(a_ref, b_ref, m_ref, o_ref, *, n_k):
+    """o = m * (a @ b) — used for the masked weight gradient; the mask
+    multiply happens once, after the last K step."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _():
+        o_ref[:] = o_ref[:] * m_ref[:]
 
 
 def _pallas_masked_matmul(x, w, mask, *, mask_on_output=False, interpret=None):
     """x: (B, K), w: (K, N), mask matching w (or the output if
-    mask_on_output). Returns (B, N) f32."""
+    mask_on_output). Returns (B, N) f32. Blocked over all three matmul
+    dims so VMEM stays bounded at any shape."""
     B, K = x.shape
     K2, N = w.shape
     assert K == K2
@@ -48,26 +62,34 @@ def _pallas_masked_matmul(x, w, mask, *, mask_on_output=False, interpret=None):
         interpret = not _on_tpu()
     bm = min(_round_up(B, 8), 256)
     bn = min(_round_up(N, 128), 512)
-    Bp, Kp, Np = _round_up(B, bm), _round_up(K, 128), _round_up(N, bn)
+    bk = min(_round_up(K, 128), 512)
+    Bp, Kp, Np = _round_up(B, bm), _round_up(K, bk), _round_up(N, bn)
+    n_k = Kp // bk
     xp = jnp.pad(x, ((0, Bp - B), (0, Kp - K)))
     wp = jnp.pad(w, ((0, Kp - K), (0, Np - N)))
     if mask_on_output:
         mp = jnp.pad(mask, ((0, Bp - B), (0, Np - N)))
-        kernel = _mask_out_matmul_kernel
-        m_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        kernel = functools.partial(_mask_out_matmul_kernel, n_k=n_k)
+        m_spec = pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        )
     else:
         mp = jnp.pad(mask, ((0, Kp - K), (0, Np - N)))
         kernel = _masked_matmul_kernel
-        m_spec = pl.BlockSpec((Kp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        m_spec = pl.BlockSpec(
+            (bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+        )
     out = pl.pallas_call(
         kernel,
-        grid=(Bp // bm, Np // bn),
+        grid=(Bp // bm, Np // bn, n_k),
         in_specs=[
-            pl.BlockSpec((bm, Kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
             m_spec,
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * Kp * Np, bytes_accessed=4 * (Bp * Kp + 2 * Kp * Np + Bp * Np),
@@ -76,6 +98,14 @@ def _pallas_masked_matmul(x, w, mask, *, mask_on_output=False, interpret=None):
         interpret=interpret,
     )(xp.astype(jnp.float32), wp.astype(jnp.float32), mp.astype(jnp.float32))
     return out[:B, :N]
+
+
+def prefer_pallas(K, N):
+    """Shape gate: below ~8 MB of masked weight, XLA's fold-the-mask matmul
+    measured faster than the kernel (0.83 vs 1.13 ms for MADE's grad at
+    784x1024); above it, materializing mask*W per step is the bottleneck
+    the kernel exists to remove."""
+    return K * N * 4 > 8 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
