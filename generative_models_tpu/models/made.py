@@ -5,10 +5,13 @@ flattened binarized pixels with autoregressive connectivity masks (natural
 input ordering, random hidden ranks), Bernoulli NLL loss, raster-order
 sampling with one full forward per pixel.
 
-TPU-native build: the masks are fused into Pallas masked-matmul kernels
-(ops/masked_dense.py) instead of materializing mask*W per forward; sampling
-is one lax.scan over 784 steps entirely on device, emitting the frame stack
-for the sampling-process video in a single final D2H transfer.
+TPU-native build: masked matmuls route through ops/masked_dense.py, which
+picks per shape between XLA's fold-the-mask matmul (faster at the default
+784x1024 layers — measured) and a Pallas kernel that fuses the mask in VMEM
+(wins once materializing mask*W per step dominates, >~8 MB of masked
+weight). Sampling is one lax.scan over 784 steps entirely on device,
+emitting the frame stack for the sampling-process video in a single final
+D2H transfer.
 """
 
 import flax.linen as nn
@@ -81,18 +84,18 @@ class MADE(Autoreg):
         # shape gate: at the default 784x1024 layers, XLA's fold-the-mask
         # matmul measured faster than the Pallas kernel; the kernel wins
         # once materializing mask*W per step dominates (large widths)
-        biggest = max(
-            a * b
-            for a, b in zip(
+        big_k, big_n = max(
+            zip(
                 (self.nin,) + self.hidden_sizes,
                 self.hidden_sizes + (self.nout,),
-            )
+            ),
+            key=lambda kn: kn[0] * kn[1],
         )
         return MaskedMLP(
             hidden_sizes=self.hidden_sizes,
             nout=self.nout,
             masks=self.masks,
-            use_pallas=on_tpu() and prefer_pallas(1, biggest),
+            use_pallas=on_tpu() and prefer_pallas(big_k, big_n),
         )
 
     def example_input(self):

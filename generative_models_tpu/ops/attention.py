@@ -70,18 +70,23 @@ def _plan(T):
 
     'static'  : whole sequence resident per program, fully unrolled causal
                 double loop — fastest at the zoo's T<=~1.5k shapes.
-    'streamed': grid over (bh-group, q-block) with a dynamic causal
-                fori_loop over KV blocks — only K/V stay resident, so it
-                scales to long context.
-    'dense'   : XLA fallback when even a single K/V copy cannot fit VMEM.
+    'streamed': 3-D grid streaming every operand blockwise from HBM with
+                scratch accumulators — nothing full-T is ever resident, so
+                it scales to arbitrary sequence lengths.
     """
     blk, Tp = _pick_blk(T)
     if Tp // blk <= _MAX_STATIC_BLOCKS:
         return 'static', blk, Tp
-    Tp = _round_up(T, 128)
-    if Tp * _LANE * 2 * 2 <= _VMEM_BUDGET:  # bf16 K+V resident at G=1
-        return 'streamed', 128, Tp
-    return 'dense', None, None
+    return 'streamed', 128, _round_up(T, 128)
+
+
+def _group_size_simple(BH):
+    """Largest of 8/4/2/1 dividing BH (streamed kernels hold only
+    per-block operands, so VMEM never constrains the group)."""
+    for g in (8, 4, 2, 1):
+        if BH % g == 0:
+            return g
+    return 1
 
 
 def _vmem_fit_group(BH, Tp, resident_f32_equiv, cap):
@@ -139,12 +144,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk, n_blk, scale):
             s = _bdot(q, k_blk, 2, 2) * scale  # (G, blk, blk) f32
             if ki == qi:  # only the diagonal block needs the tril mask
                 s = _tril_mask(s, G, blk)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + _bdot(p.astype(q.dtype), v_blk, 2, 1)
-            m = m_new
+            acc, m, l = _online_update(s, v_blk, acc, m, l, q.dtype)
         o_ref[:, pl.ds(qi * blk, blk), :] = acc / jnp.maximum(l, 1e-30)
         # row logsumexp, saved for the backward's softmax recompute
         lse_ref[0, :, pl.ds(qi * blk, blk)] = (
@@ -264,63 +264,102 @@ def _flash_backward(q, k, v, o, lse, do, scale, blk=128, interpret=None):
 
 
 # --------------------- streamed (long-context) kernels ---------------------
-# Grid over (bh-group, block); K/V (fwd, dQ) or Q/dO (dK/dV) are the only
-# full-T residents, streamed blockwise with a dynamic causal fori_loop. The
-# lse/delta rows use a (BH//G, G, Tp) layout so any group size satisfies the
-# TPU block-dim rules.
+# 3-D grid with the KV (fwd/dQ) or Q (dK/dV) axis INNERMOST: every operand
+# arrives as one (G, blk, D) block per grid step, so nothing full-T is ever
+# resident in VMEM and the path scales to arbitrary sequence lengths. The
+# online-softmax / gradient accumulators live in VMEM scratch, reset at the
+# first inner step and flushed into the (revisited) output blocks at the
+# last. Causally-dead block pairs are skipped with pl.when predication. The
+# lse/delta rows use a (BH//G, G, Tp) layout so any group size satisfies
+# the TPU block-dim rules.
+
+
+def _block_tril(s, qi, ki, blk):
+    """Causal mask for the (qi, ki) block pair of (G, blk, blk) scores."""
+    G = s.shape[0]
+    q_pos = qi * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 1)
+    k_pos = ki * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 2)
+    return jnp.where(q_pos >= k_pos, s, NEG_INF)
+
+
+def _online_update(s, v_blk, acc, m, l, dtype):
+    """One online-softmax step: fold a masked score block into (acc, m, l)."""
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m - m_new)
+    l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+    acc_new = acc * alpha + _bdot(p.astype(dtype), v_blk, 2, 1)
+    return acc_new, m_new, l_new
 
 
 def _flash_kernel_streamed(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk, scale
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_s, m_s, l_s, *, blk, n_kv, scale
 ):
-    qi = pl.program_id(1)
-    q = q_ref[...]  # (G, blk, D)
-    G, _, D = q.shape
+    qi, ki = pl.program_id(1), pl.program_id(2)
 
-    def body(ki, carry):
-        acc, m, l = carry
-        k_blk = k_ref[:, pl.ds(ki * blk, blk), :]
-        v_blk = v_ref[:, pl.ds(ki * blk, blk), :]
-        s = _bdot(q, k_blk, 2, 2) * scale
-        q_pos = qi * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 1)
-        k_pos = ki * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 2)
-        s = jnp.where(q_pos >= k_pos, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + _bdot(p.astype(q.dtype), v_blk, 2, 1)
-        return acc, m_new, l
+    @pl.when(ki == 0)
+    def _():
+        acc_s[...] = jnp.zeros_like(acc_s)
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
 
-    acc0 = jnp.zeros((G, blk, D), jnp.float32)
-    m0 = jnp.full((G, blk, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((G, blk, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, qi + 1, body, (acc0, m0, l0))
-    o_ref[...] = acc / jnp.maximum(l, 1e-30)
-    lse_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[..., 0]
+    @pl.when(ki <= qi)  # causally-live block pairs only
+    def _():
+        q = q_ref[...]
+        s = _bdot(q, k_ref[...], 2, 2) * scale
+        s = _block_tril(s, qi, ki, blk)
+        acc, m, l = _online_update(
+            s, v_ref[...], acc_s[...], m_s[...], l_s[...], q.dtype
+        )
+        acc_s[...], m_s[...], l_s[...] = acc, m, l
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        l = jnp.maximum(l_s[...], 1e-30)
+        o_ref[...] = acc_s[...] / l
+        lse_ref[0] = (m_s[...] + jnp.log(l))[..., 0]
+
+
+def _streamed_specs(BH, T, D, blk, G):
+    qkv = pl.BlockSpec(
+        (G, blk, D), lambda g, i, k: (g, i, 0), memory_space=pltpu.VMEM
+    )
+    kv = pl.BlockSpec(
+        (G, blk, D), lambda g, i, k: (g, k, 0), memory_space=pltpu.VMEM
+    )
+    row = pl.BlockSpec(
+        (1, G, blk), lambda g, i, k: (g, 0, i), memory_space=pltpu.VMEM
+    )
+    return qkv, kv, row
 
 
 def _flash_forward_streamed(q, k, v, scale, blk=128, interpret=None):
     if interpret is None:
         interpret = not _on_tpu()
     BH, T, D = q.shape
-    G = _vmem_fit_group(BH, T, 1.0, 8)  # residents: K+V bf16
-    n_q = T // blk
-    full = pl.BlockSpec((G, T, D), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM)
-    blkspec = pl.BlockSpec(
-        (G, blk, D), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
-    )
-    row_blk = pl.BlockSpec(
-        (1, G, blk), lambda g, i: (g, 0, i), memory_space=pltpu.VMEM
-    )
+    G = _group_size_simple(BH)
+    n_blk = T // blk
+    qkv, kv, row = _streamed_specs(BH, T, D, blk, G)
     o, lse = pl.pallas_call(
-        functools.partial(_flash_kernel_streamed, blk=blk, scale=scale),
-        grid=(BH // G, n_q),
-        in_specs=[blkspec, full, full],
-        out_specs=(blkspec, row_blk),
+        functools.partial(
+            _flash_kernel_streamed, blk=blk, n_kv=n_blk, scale=scale
+        ),
+        grid=(BH // G, n_blk, n_blk),
+        in_specs=[qkv, kv, kv],
+        out_specs=(qkv, row),
         out_shape=(
             jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
             jax.ShapeDtypeStruct((BH // G, G, T), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G, blk, D), jnp.float32),
+            pltpu.VMEM((G, blk, 1), jnp.float32),
+            pltpu.VMEM((G, blk, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * BH * T * T * D // 2,
+            bytes_accessed=4 * 4 * BH * T * D,
+            transcendentals=BH * T * T // 2,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -331,111 +370,134 @@ def _flash_forward_streamed(q, k, v, scale, blk=128, interpret=None):
 
 
 def _flash_bwd_dq_streamed(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, blk, scale
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_s,
+    *, blk, n_kv, scale,
 ):
-    qi = pl.program_id(1)
-    q = q_ref[...]
-    do = do_ref[...]
-    G, _, D = q.shape
-    lse = lse_ref[0][..., None]  # (G, blk, 1)
-    delta = delta_ref[0][..., None]
+    qi, ki = pl.program_id(1), pl.program_id(2)
 
-    def body(ki, dq):
-        k_blk = k_ref[:, pl.ds(ki * blk, blk), :]
-        v_blk = v_ref[:, pl.ds(ki * blk, blk), :]
+    @pl.when(ki == 0)
+    def _():
+        dq_s[...] = jnp.zeros_like(dq_s)
+
+    @pl.when(ki <= qi)
+    def _():
+        q = q_ref[...]
+        do = do_ref[...]
+        lse = lse_ref[0][..., None]  # (G, blk, 1)
+        delta = delta_ref[0][..., None]
+        k_blk = k_ref[...]
         s = _bdot(q, k_blk, 2, 2) * scale
-        q_pos = qi * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 1)
-        k_pos = ki * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 2)
-        s = jnp.where(q_pos >= k_pos, s, NEG_INF)
+        s = _block_tril(s, qi, ki, blk)
         p = jnp.exp(s - lse)
-        dp = _bdot(do, v_blk, 2, 2)
+        dp = _bdot(do, v_ref[...], 2, 2)
         ds = (p * (dp - delta)).astype(q.dtype)
-        return dq + _bdot(ds, k_blk, 2, 1)
+        dq_s[...] += _bdot(ds, k_blk, 2, 1)
 
-    dq = jax.lax.fori_loop(0, qi + 1, body, jnp.zeros((G, blk, D), jnp.float32))
-    dq_ref[...] = dq * scale
+    @pl.when(ki == n_kv - 1)
+    def _():
+        dq_ref[...] = dq_s[...] * scale
 
 
 def _flash_bwd_dkv_streamed(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, blk, n_q, scale,
+    dk_s, dv_s, *, blk, n_q, scale,
 ):
-    ki = pl.program_id(1)
-    k_blk = k_ref[...]
-    v_blk = v_ref[...]
-    G, _, D = k_blk.shape
+    # here the grid's middle axis is the KV block and the INNER axis is q
+    ki, qi = pl.program_id(1), pl.program_id(2)
 
-    def body(q_i, carry):
-        dk, dv = carry
-        q = q_ref[:, pl.ds(q_i * blk, blk), :]
-        do = do_ref[:, pl.ds(q_i * blk, blk), :]
-        lse = lse_ref[0, :, pl.ds(q_i * blk, blk)][..., None]
-        delta = delta_ref[0, :, pl.ds(q_i * blk, blk)][..., None]
+    @pl.when(qi == 0)
+    def _():
+        dk_s[...] = jnp.zeros_like(dk_s)
+        dv_s[...] = jnp.zeros_like(dv_s)
+
+    @pl.when(qi >= ki)
+    def _():
+        q = q_ref[...]
+        do = do_ref[...]
+        lse = lse_ref[0][..., None]
+        delta = delta_ref[0][..., None]
+        k_blk = k_ref[...]
+        v_blk = v_ref[...]
         s = _bdot(q, k_blk, 2, 2) * scale
-        q_pos = q_i * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 1)
-        k_pos = ki * blk + jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 2)
-        s = jnp.where(q_pos >= k_pos, s, NEG_INF)
-        p = jnp.exp(s - lse)
+        s = _block_tril(s, qi, ki, blk)
+        p = jnp.exp(s - lse)  # (G, blk, blk) f32
         pt = jnp.swapaxes(p.astype(q.dtype), 1, 2)
-        dv = dv + _bdot(pt, do, 2, 1)
+        dv_s[...] += _bdot(pt, do, 2, 1)
         dp = _bdot(do, v_blk, 2, 2)
         ds = p * (dp - delta)
         dst = jnp.swapaxes(ds.astype(q.dtype), 1, 2)
-        dk = dk + _bdot(dst, q, 2, 1)
-        return dk, dv
+        dk_s[...] += _bdot(dst, q, 2, 1)
 
-    z = jnp.zeros((G, blk, D), jnp.float32)
-    dk, dv = jax.lax.fori_loop(ki, n_q, body, (z, z))
-    dk_ref[...] = dk * scale
-    dv_ref[...] = dv
+    @pl.when(qi == n_q - 1)
+    def _():
+        dk_ref[...] = dk_s[...] * scale
+        dv_ref[...] = dv_s[...]
 
 
 def _flash_backward_streamed(q, k, v, o, lse, do, scale, blk=128, interpret=None):
     if interpret is None:
         interpret = not _on_tpu()
     BH, T, D = q.shape
-    G = _vmem_fit_group(BH, T, 1.0, 8)  # residents: two bf16 full-T tensors
-    n_q = T // blk
+    G = _group_size_simple(BH)
+    n_blk = T // blk
     delta3 = (
         jnp.sum(do.astype(jnp.float32) * o, axis=-1).reshape(BH // G, G, T)
     )
     lse3 = lse.reshape(BH // G, G, T)
-    full = pl.BlockSpec((G, T, D), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM)
-    blkspec = pl.BlockSpec(
-        (G, blk, D), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
-    )
-    row_blk = pl.BlockSpec(
-        (1, G, blk), lambda g, i: (g, 0, i), memory_space=pltpu.VMEM
-    )
-    row_full = pl.BlockSpec(
-        (1, G, T), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM
-    )
+    qkv, kv, row = _streamed_specs(BH, T, D, blk, G)
     params = dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )
+    cost = pl.CostEstimate(
+        flops=3 * 2 * BH * T * T * D // 2,
+        bytes_accessed=6 * 4 * BH * T * D,
+        transcendentals=BH * T * T // 2,
+    )
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_streamed, blk=blk, scale=scale),
-        grid=(BH // G, n_q),
-        in_specs=[blkspec, full, full, blkspec, row_blk, row_blk],
-        out_specs=blkspec,
+        functools.partial(
+            _flash_bwd_dq_streamed, blk=blk, n_kv=n_blk, scale=scale
+        ),
+        grid=(BH // G, n_blk, n_blk),
+        in_specs=[qkv, kv, kv, qkv, row, row],
+        out_specs=qkv,
         out_shape=jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((G, blk, D), jnp.float32)],
+        cost_estimate=cost,
         **params,
     )(q, k, v, do, lse3, delta3)
+    # dK/dV pass: middle grid axis = kv block, inner axis = q block
+    qkv_i = pl.BlockSpec(
+        (G, blk, D), lambda g, i, k: (g, k, 0), memory_space=pltpu.VMEM
+    )
+    kv_m = pl.BlockSpec(
+        (G, blk, D), lambda g, i, k: (g, i, 0), memory_space=pltpu.VMEM
+    )
+    row_i = pl.BlockSpec(
+        (1, G, blk), lambda g, i, k: (g, 0, k), memory_space=pltpu.VMEM
+    )
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_streamed, blk=blk, n_q=n_q, scale=scale),
-        grid=(BH // G, n_q),
-        in_specs=[full, blkspec, blkspec, full, row_full, row_full],
-        out_specs=(blkspec, blkspec),
+        functools.partial(
+            _flash_bwd_dkv_streamed, blk=blk, n_q=n_blk, scale=scale
+        ),
+        grid=(BH // G, n_blk, n_blk),
+        in_specs=[qkv_i, kv_m, kv_m, qkv_i, row_i, row_i],
+        out_specs=(kv_m, kv_m),
         out_shape=(
             jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
             jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((G, blk, D), jnp.float32),
+            pltpu.VMEM((G, blk, D), jnp.float32),
+        ],
+        cost_estimate=cost,
         **params,
     )(q, k, v, do, lse3, delta3)
     return dq, dk, dv
+
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -478,7 +540,7 @@ def _pallas_call_4d(q, k, v):
 
 
 def _ca_fwd(q, k, v, use_pallas):
-    if use_pallas and _plan(q.shape[2])[0] != 'dense':
+    if use_pallas:
         out, (o_pad, lse) = _pallas_call_4d(q, k, v)
         return out, (q, k, v, o_pad, lse)
     out = xla_causal_attention(q, k, v)
@@ -487,7 +549,7 @@ def _ca_fwd(q, k, v, use_pallas):
 
 def _ca_bwd(use_pallas, res, g):
     q, k, v, o_pad, lse = res
-    if not use_pallas or o_pad is None:  # o_pad None == dense-plan forward
+    if not use_pallas:
         _, vjp = jax.vjp(xla_causal_attention, q, k, v)
         return vjp(g)
     B, H, T, D = q.shape

@@ -91,7 +91,7 @@ def test_streamed_long_context_path_matches_dense():
 
     assert _plan(784)[0] == 'static'
     assert _plan(1664)[0] == 'streamed'
-    assert _plan(100000)[0] == 'dense'
+    assert _plan(100000)[0] == 'streamed'  # no dense cliff at any length
 
     q, k, v = _qkv(B=1, H=1, T=1664, D=8)
     out_flash = causal_attention(q, k, v, True)
@@ -103,5 +103,30 @@ def test_streamed_long_context_path_matches_dense():
     f2 = lambda q, k, v: jnp.sum(xla_causal_attention(q, k, v) ** 2)
     g1 = jax.grad(f1, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(f2, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_streamed_path_with_padding_matches_dense():
+    """Streamed kernels with T NOT a multiple of the 128 block (T=1600 ->
+    Tp=1664): padded q rows and padded K/V tails must not leak into valid
+    outputs or gradients."""
+    from generative_models_tpu.ops.attention import _plan
+
+    assert _plan(1600)[0] == 'streamed'
+    q, k, v = _qkv(B=1, H=1, T=1600, D=8)
+    np.testing.assert_allclose(
+        np.asarray(causal_attention(q, k, v, True)),
+        np.asarray(xla_causal_attention(q, k, v)),
+        rtol=2e-4, atol=2e-5,
+    )
+    g1 = jax.grad(
+        lambda q, k, v: jnp.sum(causal_attention(q, k, v, True) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g2 = jax.grad(
+        lambda q, k, v: jnp.sum(xla_causal_attention(q, k, v) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)

@@ -42,3 +42,22 @@ def test_weight_grad_respects_mask():
     x, w, b, mask = _data()
     dw = jax.grad(lambda w: jnp.sum(masked_dense(x, w, b, mask, True)))(w)
     assert np.allclose(np.asarray(dw) * (1 - np.asarray(mask)), 0.0)
+
+
+def test_k_blocked_accumulation_path():
+    """K=1300 forces multiple K grid steps (bk=512): exercises the scratch
+    zero-init at k==0, += accumulation, and the last-step output-mask gate
+    in the weight-gradient kernel."""
+    rng = np.random.RandomState(3)
+    K, N, B = 1300, 256, 16
+    x = jnp.asarray(rng.randn(B, K), jnp.float32)
+    w = jnp.asarray(rng.randn(K, N) * 0.01, jnp.float32)
+    b = jnp.zeros((N,), jnp.float32)
+    m = jnp.asarray((rng.rand(K, N) > 0.5).astype(np.float32))
+    y_p = masked_dense(x, w, b, m, True)
+    y_x = x @ (w * m) + b
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-4, atol=1e-4)
+    g_p = jax.grad(lambda x, w: masked_dense(x, w, b, m, True).sum(), argnums=(0, 1))(x, w)
+    g_x = jax.grad(lambda x, w: ((x @ (w * m)) + b).sum(), argnums=(0, 1))(x, w)
+    for a, bb in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-4)
