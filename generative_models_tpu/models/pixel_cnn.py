@@ -155,10 +155,17 @@ class PixelCNNNet(nn.Module):
     # reads raster-earlier positions, so canvases filled in cursor order are
     # always valid. 1x1 convs and LayerNorm are positionwise: no canvas.
 
+    def _mid_kernel_size(self):
+        # resblock mode's spatial conv is PixelResBlock.conv_mid, which is
+        # hard-coded 7x7 (reference: pixel_cnn.py:118) — the layer canvases
+        # must be padded/windowed for THAT kernel, not self.kernel_size
+        return 7 if self.use_resblock else self.kernel_size
+
     def init_canvases(self, n, side):
         p = self.kernel_size // 2
-        hw = side + 2 * p
-        c0 = jnp.zeros((n, hw, hw, 1))
+        c0 = jnp.zeros((n, side + 2 * p, side + 2 * p, 1))
+        pm = self._mid_kernel_size() // 2
+        hw = side + 2 * pm
         mid_c = self.n_filters // 2 if self.use_resblock else self.n_filters
         layer_canvases = tuple(
             jnp.zeros((n, hw, hw, mid_c)) for _ in range(self.n_layers)
@@ -170,7 +177,8 @@ class PixelCNNNet(nn.Module):
         and write this position's activations into the canvases.
         Returns (logit (B,), canvases)."""
         k = self.kernel_size
-        p = k // 2
+        km = self._mid_kernel_size()
+        pm = km // 2
         c0, layer_canvases = canvases
         n = c0.shape[0]
         # window whose center is (r+p, c+p) in padded coords starts at (r, c)
@@ -185,11 +193,11 @@ class PixelCNNNet(nn.Module):
             else:
                 v = x
             canvas = jax.lax.dynamic_update_slice(
-                layer_canvases[i], v[:, None, None, :], (0, r + p, c + p, 0)
+                layer_canvases[i], v[:, None, None, :], (0, r + pm, c + pm, 0)
             )
             new_canvases.append(canvas)
             w = jax.lax.dynamic_slice(
-                canvas, (0, r, c, 0), (n, k, k, v.shape[-1])
+                canvas, (0, r, c, 0), (n, km, km, v.shape[-1])
             )
             if self.use_resblock:
                 x = self.blocks[i].step_post(x, w)

@@ -79,5 +79,11 @@ def precision_recall_f1(real, gen, k=3):
 
     precision = _manifold_estimate(real, gen)
     recall = _manifold_estimate(gen, real)
-    f1 = 2 * (precision * recall) / (precision + recall)
+    # conscious fix of a reference bug (gms/common.py:317-319): there
+    # precision == recall == 0 (e.g. an untrained model) yields f1 = NaN;
+    # here it is defined as 0.
+    denom = precision + recall
+    f1 = jnp.where(
+        denom > 0, 2 * (precision * recall) / jnp.maximum(denom, 1e-12), 0.0
+    )
     return {'precision': precision, 'recall': recall, 'f1': f1}

@@ -85,8 +85,10 @@ def test_transformer_cache_sampling_consistent():
 
 def test_streamed_long_context_path_matches_dense():
     """T=1664 exceeds the static-unroll budget, so _plan routes to the
-    streamed (grid over q-blocks, dynamic causal fori_loop) kernels; both
-    forward and gradients must match dense XLA in interpret mode."""
+    streamed kernels (3-D grid over (bh-group, q-block, kv-block) with
+    pl.when-predicated causally-live block pairs and VMEM scratch
+    accumulators); both forward and gradients must match dense XLA in
+    interpret mode."""
     from generative_models_tpu.ops.attention import _plan
 
     assert _plan(784)[0] == 'static'

@@ -142,16 +142,18 @@ def test_pixelcnn_incremental_decode_matches_full_forward():
     from generative_models_tpu.models.pixel_cnn import PixelCNNNet
 
     side = 8
-    for use_res in (False, True):
+    # (7, True) is the reference default; (5, True) exercises the
+    # kernel_size != conv_mid-kernel (7) decoupling of the layer canvases
+    for ksize, use_res in ((7, False), (7, True), (5, True)):
         net = PixelCNNNet(
-            n_filters=16, n_layers=2, kernel_size=7, use_resblock=use_res
+            n_filters=16, n_layers=2, kernel_size=ksize, use_resblock=use_res
         )
         rng = np.random.RandomState(1)
         x = jnp.asarray((rng.rand(3, side, side, 1) > 0.5), jnp.float32)
         params = net.init(jax.random.key(0), x)['params']
         full_logits = net.apply({'params': params}, x)
 
-        p = 3
+        p = ksize // 2
         c0, layers = net.apply(
             {'params': params}, 3, side, method=PixelCNNNet.init_canvases
         )
@@ -170,7 +172,7 @@ def test_pixelcnn_incremental_decode_matches_full_forward():
             c0 = jax.lax.dynamic_update_slice(
                 c0, x[:, r : r + 1, c : c + 1, :], (0, r + p, c + p, 0)
             )
-        assert worst < 2e-2, f'use_resblock={use_res}: {worst}'
+        assert worst < 2e-2, f'k={ksize} use_resblock={use_res}: {worst}'
 
 
 def test_gated_pixelcnn_incremental_decode_matches_full_forward():

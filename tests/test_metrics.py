@@ -65,6 +65,9 @@ def test_precision_recall_disjoint_sets():
     out = precision_recall_f1(real=a, gen=far)
     assert float(out['precision']) == 0.0
     assert float(out['recall']) == 0.0
+    # conscious fix of the reference's NaN (gms/common.py:317-319): with
+    # precision == recall == 0, f1 is defined as 0, not NaN
+    assert float(out['f1']) == 0.0
 
 
 def test_cross_entropy_matches_manual():
