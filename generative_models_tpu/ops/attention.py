@@ -500,6 +500,280 @@ def _flash_backward_streamed(q, k, v, o, lse, do, scale, blk=128, interpret=None
 
 
 
+# ------------------------- ring-attention chunk kernels -------------------------
+# The per-hop compute body of ring attention (parallel/ring_attention.py):
+# fold ONE visiting K/V chunk into the carried online-softmax state (fwd) or
+# accumulate this q-shard's gradient contributions onto the visiting chunk's
+# traveling dK/dV accumulators (bwd). Same building blocks as the single-chip
+# flash kernels above (_bdot bf16 matmuls with f32 accumulation,
+# _online_update, flash-style lse/delta backward) — the ring path IS the
+# flash kernel, with VMEM block streaming replaced by ICI chunk rotation.
+#
+# Layout: grid (BH//G, n_q); q/do/acc arrive as one (G, blk, D) block per
+# program, K/V (and dK/dV) chunks stay VMEM-resident, m/l/lse/delta rows use
+# the (BH//G, G, Tp) layout. The causal mask comes from GLOBAL positions:
+# q_start/k_start (SMEM scalars, traced per hop — k_start depends on the
+# ring step) offset the block-local iotas. The KV loop is a fori_loop whose
+# UPPER BOUND is computed from the offsets, so causally-dead blocks are
+# never executed: at seq:1 this degenerates to exactly the static kernel's
+# compile-time causal skipping, and on a ring the diagonal hop does half
+# work. K/V stay resident (no HBM streaming to pipeline), so the dynamic
+# bound costs nothing.
+
+
+def _pick_chunk_blk(T):
+    """(block size, padded T) for a ring chunk of local length T. Small
+    chunks round up to one sublane-aligned block; larger reuse _pick_blk."""
+    if T <= 128:
+        b = _round_up(T, 8)
+        return b, b
+    return _pick_blk(T)
+
+
+def _live_kv_bound(q0, k0, blk, n_kv):
+    """Number of leading KV blocks with any causally-live pair for the
+    q-block starting at global q0 against the chunk starting at k0."""
+    hi = jnp.floor_divide(q0 + (blk - 1) - k0, blk) + 1
+    return jnp.clip(hi, 0, n_kv)
+
+
+def _sds(shape, vma):
+    """f32 pallas out-shape; under shard_map the outputs must carry the
+    device-varying axis set (vma) so check_vma-typed tracing accepts them."""
+    if vma is None:
+        return jax.ShapeDtypeStruct(shape, jnp.float32)
+    return jax.ShapeDtypeStruct(shape, jnp.float32, vma=frozenset(vma))
+
+
+def _ring_chunk_fwd_kernel(
+    *refs, blk, n_kv, t_valid, scale, init,
+):
+    if init:  # first hop: accumulators start fresh, no carry-in traffic
+        (qs_ref, ks_ref, q_ref, k_ref, v_ref,
+         oacc_ref, om_ref, ol_ref) = refs
+    else:
+        (qs_ref, ks_ref, q_ref, k_ref, v_ref, acc_ref, m_ref, l_ref,
+         oacc_ref, om_ref, ol_ref) = refs
+    G = q_ref.shape[0]
+    D = q_ref.shape[-1]
+    q0 = qs_ref[0] + pl.program_id(1) * blk
+    k0 = ks_ref[0]
+    q = q_ref[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 2)
+
+    def body(ki, carry):
+        acc, m, l = carry
+        k_blk = k_ref[:, pl.ds(ki * blk, blk), :]
+        v_blk = v_ref[:, pl.ds(ki * blk, blk), :]
+        s = _bdot(q, k_blk, 2, 2) * scale
+        live = (q0 + row) >= (k0 + ki * blk + col)
+        if t_valid % blk:  # chunk tail padding: mask padded K columns
+            live &= (ki * blk + col) < t_valid
+        s = jnp.where(live, s, NEG_INF)
+        return _online_update(s, v_blk, acc, m, l, q.dtype)
+
+    if init:
+        carry0 = (
+            jnp.zeros((G, blk, D), jnp.float32),
+            jnp.full((G, blk, 1), NEG_INF, jnp.float32),
+            jnp.zeros((G, blk, 1), jnp.float32),
+        )
+    else:
+        carry0 = (acc_ref[...], m_ref[...], l_ref[...])
+    acc, m, l = jax.lax.fori_loop(
+        0, _live_kv_bound(q0, k0, blk, n_kv), body, carry0
+    )
+    oacc_ref[...] = acc
+    om_ref[...] = m
+    ol_ref[...] = l
+
+
+def _ring_chunk_fwd(
+    q, k, v, acc, m, l, q_start, k_start, t_valid, scale, interpret=None,
+    vma=None,
+):
+    """One ring hop of the forward online softmax.
+
+    q/k/v: (BH, Tp, D) in the matmul dtype; acc: (BH, Tp, D) f32;
+    m/l: (BH, Tp) f32; q_start/k_start: traced global offsets of the local
+    q shard / visiting kv chunk; t_valid: static valid length (<= Tp).
+    Returns the updated (acc, m, l). acc/m/l may be None on the FIRST hop
+    (init variant: the kernel seeds the accumulators itself, saving their
+    HBM carry-in read).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    BH, Tp, D = q.shape
+    blk = _pick_chunk_blk(t_valid)[0]
+    n_kv = (t_valid + blk - 1) // blk
+    G = _vmem_fit_group(BH, Tp, 2.0, 8)
+    blkspec = pl.BlockSpec(
+        (G, blk, D), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
+    )
+    full = pl.BlockSpec(
+        (G, Tp, D), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    # m/l travel as (BH, Tp, 1) arrays in (G, blk, 1) blocks: the size-1
+    # lane dim equals the array dim and blk is sublane-aligned, so the
+    # blocks satisfy TPU tiling rules with no in-kernel slicing.
+    rowspec = pl.BlockSpec(
+        (G, blk, 1), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scalar = lambda x: jnp.asarray(x, jnp.int32).reshape(1)
+    init = acc is None
+    carry_specs = [] if init else [blkspec, rowspec, rowspec]
+    carry_args = [] if init else [
+        acc, m.reshape(BH, Tp, 1), l.reshape(BH, Tp, 1)
+    ]
+    acc, m, l = pl.pallas_call(
+        functools.partial(
+            _ring_chunk_fwd_kernel,
+            blk=blk, n_kv=n_kv, t_valid=t_valid, scale=scale, init=init,
+        ),
+        grid=(BH // G, Tp // blk),
+        in_specs=[smem, smem, blkspec, full, full] + carry_specs,
+        out_specs=(blkspec, rowspec, rowspec),
+        out_shape=(
+            _sds((BH, Tp, D), vma),
+            _sds((BH, Tp, 1), vma),
+            _sds((BH, Tp, 1), vma),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * BH * Tp * t_valid * D // 2,
+            bytes_accessed=4 * 4 * BH * Tp * D,
+            transcendentals=BH * Tp * t_valid // 2,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        scalar(q_start), scalar(k_start), q, k, v, *carry_args,
+    )
+    return acc, m.reshape(BH, Tp), l.reshape(BH, Tp)
+
+
+def _ring_chunk_bwd_kernel(
+    *refs, blk, n_kv, t_valid, scale, init,
+):
+    if init:  # first hop: gradient accumulators start at zero
+        (qs_ref, ks_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dk_ref, dv_ref) = refs
+    else:
+        (qs_ref, ks_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_in_ref, dk_in_ref, dv_in_ref, dq_ref, dk_ref, dv_ref) = refs
+    G = q_ref.shape[0]
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)  # seed the VMEM-resident dK/dV accumulators
+    def _():
+        if init:
+            dk_ref[...] = jnp.zeros_like(dk_ref)
+            dv_ref[...] = jnp.zeros_like(dv_ref)
+        else:
+            dk_ref[...] = dk_in_ref[...]
+            dv_ref[...] = dv_in_ref[...]
+
+    q0 = qs_ref[0] + qi * blk
+    k0 = ks_ref[0]
+    q = q_ref[...]
+    do = do_ref[...]
+    lse = lse_ref[...]
+    delta = delta_ref[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, blk, blk), 2)
+
+    def body(ki, dq):
+        ks = pl.ds(ki * blk, blk)
+        k_blk = k_ref[:, ks, :]
+        v_blk = v_ref[:, ks, :]
+        s = _bdot(q, k_blk, 2, 2) * scale
+        live = (q0 + row) >= (k0 + ki * blk + col)
+        if t_valid % blk:
+            live &= (ki * blk + col) < t_valid
+        s = jnp.where(live, s, NEG_INF)
+        p = jnp.exp(s - lse)  # (G, blk, blk) f32; padded-q rows have do == 0
+        dp = _bdot(do, v_blk, 2, 2)
+        ds = p * (dp - delta)
+        pt = jnp.swapaxes(p.astype(q.dtype), 1, 2)
+        dst = jnp.swapaxes(ds.astype(q.dtype), 1, 2)
+        dk_ref[:, ks, :] += _bdot(dst, q, 2, 1) * scale
+        dv_ref[:, ks, :] += _bdot(pt, do, 2, 1)
+        return dq + _bdot(ds.astype(q.dtype), k_blk, 2, 1)
+
+    dq = jax.lax.fori_loop(
+        0, _live_kv_bound(q0, k0, blk, n_kv), body,
+        jnp.zeros((G, blk, q.shape[-1]), jnp.float32),
+    )
+    if init:
+        dq_ref[...] = dq * scale
+    else:
+        dq_ref[...] = dq_in_ref[...] + dq * scale
+
+
+def _ring_chunk_bwd(
+    q, k, v, do, lse, delta, dq, dk, dv, q_start, k_start, t_valid, scale,
+    interpret=None, vma=None,
+):
+    """One ring hop of the flash-style backward: adds this hop's
+    contributions onto the local dQ and the visiting chunk's traveling
+    dK/dV. q/k/v/do: (BH, Tp, D) matmul dtype; lse/delta: (BH, Tp) f32;
+    dq/dk/dv: (BH, Tp, D) f32 accumulators (None on the first hop:
+    the init variant seeds them in-kernel, saving their HBM read)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    BH, Tp, D = q.shape
+    blk = _pick_chunk_blk(t_valid)[0]
+    n_kv = (t_valid + blk - 1) // blk
+    G = _vmem_fit_group(BH, Tp, 6.0, 4)
+    blkspec = pl.BlockSpec(
+        (G, blk, D), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
+    )
+    full = pl.BlockSpec(
+        (G, Tp, D), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    rowspec = pl.BlockSpec(
+        (G, blk, 1), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scalar = lambda x: jnp.asarray(x, jnp.int32).reshape(1)
+    rows = lambda x: x.reshape(BH, Tp, 1)
+    init = dq is None
+    carry_specs = [] if init else [blkspec, full, full]
+    carry_args = [] if init else [dq, dk, dv]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _ring_chunk_bwd_kernel,
+            blk=blk, n_kv=n_kv, t_valid=t_valid, scale=scale, init=init,
+        ),
+        grid=(BH // G, Tp // blk),
+        in_specs=[
+            smem, smem, blkspec, full, full, blkspec, rowspec, rowspec,
+        ] + carry_specs,
+        out_specs=(blkspec, full, full),
+        out_shape=(
+            _sds((BH, Tp, D), vma),
+            _sds((BH, Tp, D), vma),
+            _sds((BH, Tp, D), vma),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * BH * Tp * t_valid * D // 2,
+            bytes_accessed=10 * 4 * BH * Tp * D,
+            transcendentals=BH * Tp * t_valid // 2,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        scalar(q_start), scalar(k_start), q, k, v, do, rows(lse),
+        rows(delta), *carry_args,
+    )
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def causal_attention(q, k, v, use_pallas=True):
     """Causal multi-head attention: (B, H, T, D) -> (B, H, T, D).

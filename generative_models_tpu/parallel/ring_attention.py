@@ -1,14 +1,21 @@
 """Ring attention: causal attention with the sequence axis sharded over a
-device mesh ('seq' axis), K/V shards rotating around the ring via
-lax.ppermute while each device accumulates its queries' online softmax —
-the multi-chip generalization of the blockwise flash kernel
-(ops/attention.py), riding ICI instead of VMEM.
+device mesh ('seq' axis), K/V chunks rotating around the ring via
+lax.ppermute while each device folds every visiting chunk into its queries'
+online softmax — the multi-chip generalization of the blockwise flash
+kernel, riding ICI instead of VMEM.
+
+The compute body per hop IS the flash kernel: ops.attention's ring chunk
+kernels (_ring_chunk_fwd/_ring_chunk_bwd) run bf16 MXU matmuls with f32
+online-softmax accumulators carried ACROSS hops, and a flash-style
+(lse/delta recompute) backward whose dK/dV accumulators travel around the
+ring with their chunks. Nothing O(T^2) is ever materialized on any device.
+Gradients are a hand-written custom_vjp (a second ring pass), since Pallas
+kernels are not autodiff-traceable.
 
 The reference has no sequence parallelism at all (it materializes a dense
 784x784 mask, gms/autoregs/pixel_transformer.py:92-97); this module is the
-framework's long-context scaling path (SURVEY.md §2.2/§5). It is fully
-differentiable (shard_map autodiff: ppermute transposes to the inverse
-permute) and reachable from PixelTransformer via --mesh=seq:N.
+framework's long-context scaling path (SURVEY.md §2.2/§5). Reachable from
+PixelTransformer via --mesh=seq:N.
 """
 
 import functools
@@ -23,61 +30,120 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec as P
 
-NEG_INF = -1e30
+from generative_models_tpu.ops import attention as att
 
 
-def _local_ring_attention(q, k, v, axis_name):
-    """Per-device body: q stays, k/v rotate. Shards are (B, H, Tl, D).
+def _prep(x, Tlp, dt):
+    """(B, H, Tl, D) shard -> (BH, Tlp, D) in the matmul dtype, zero-padded
+    along the sequence (padded q rows are sliced off; padded do rows are
+    zero, which kills their dK/dV contributions exactly)."""
+    B, H, Tl, D = x.shape
+    return jnp.pad(
+        x.reshape(B * H, Tl, D).astype(dt), ((0, 0), (0, Tlp - Tl), (0, 0))
+    )
 
-    All ring positions run the same masked block computation: devices move in
-    ppermute lockstep, so the wall-clock is set by the last ring position
-    (which sees every block) — conditional skipping of fully-masked blocks
-    would save energy but not latency."""
+
+def _ring_fwd(axis_name, q, k, v):
+    """Forward ring pass. All ring positions run in ppermute lockstep, so
+    wall-clock is set by the last ring position (which sees every chunk);
+    within each hop the chunk kernel's dynamic live bound skips
+    causally-dead blocks (the diagonal hop does half work)."""
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.psum(1, axis_name)
-    Tl = q.shape[2]
-    scale = 1.0 / np.sqrt(q.shape[-1])
+    B, H, Tl, D = q.shape
+    BH = B * H
+    Tlp = att._pick_chunk_blk(Tl)[1]
+    dt = att._dots_dtype()
+    qp = _prep(q, Tlp, dt)
+    kp = _prep(k, Tlp, dt)
+    vp = _prep(v, Tlp, dt)
+    scale = 1.0 / np.sqrt(D)
+    q_start = idx * Tl
+    perm = [(j, (j + 1) % n) for j in range(n)]
+    rot = lambda x: jax.lax.ppermute(x, axis_name, perm)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (Tl, Tl), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (Tl, Tl), 1)
-
-    def step(carry, i):
-        acc, m, l, kk, vv = carry
-        src = (idx - i) % n  # ring position whose K/V shard we now hold
-        # f32 accumulation regardless of input dtype (bf16-safe)
-        s = jnp.einsum(
-            'bhqd,bhkd->bhqk', q, kk, preferred_element_type=jnp.float32
-        ) * scale
-        q_pos = idx * Tl + row
-        k_pos = src * Tl + col
-        s = jnp.where((q_pos >= k_pos)[None, None], s, NEG_INF)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.einsum(
-            'bhqk,bhkd->bhqd', p.astype(vv.dtype), vv,
-            preferred_element_type=jnp.float32,
-        )
-        perm = [(j, (j + 1) % n) for j in range(n)]
-        kk = jax.lax.ppermute(kk, axis_name, perm)
-        vv = jax.lax.ppermute(vv, axis_name, perm)
-        return (acc, m_new, l_new, kk, vv), None
-
-    # carries must carry the shard_map 'varying' axis type (fresh constants
-    # would mismatch the device-varying outputs of the scan body)
-    if hasattr(jax.lax, 'pcast'):
-        vary = lambda a: jax.lax.pcast(a, (axis_name,), to='varying')
-    else:  # older jax
-        vary = lambda a: jax.lax.pvary(a, (axis_name,))
-    acc0 = vary(jnp.zeros(q.shape, jnp.float32))
-    m0 = vary(jnp.full(q[..., :1].shape, NEG_INF, jnp.float32))
-    l0 = vary(jnp.zeros(q[..., :1].shape, jnp.float32))
-    (acc, _, l, _, _), _ = jax.lax.scan(
-        step, (acc0, m0, l0, k, v), jnp.arange(n)
+    # hop 0 (the diagonal chunk) runs the init kernel variant: accumulators
+    # are seeded in-kernel instead of being read from HBM
+    acc, m, l = att._ring_chunk_fwd(
+        qp, kp, vp, None, None, None, q_start, idx * Tl, Tl, scale,
+        vma=(axis_name,),
     )
-    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+    if n > 1:
+        kk, vv = rot(kp), rot(vp)
+
+        def step(carry, i):
+            acc, m, l, kk, vv = carry
+            src = (idx - i) % n  # ring position whose K/V chunk we now hold
+            acc, m, l = att._ring_chunk_fwd(
+                qp, kk, vv, acc, m, l, q_start, src * Tl, Tl, scale,
+                vma=(axis_name,),
+            )
+            return (acc, m, l, rot(kk), rot(vv)), None
+
+        (acc, m, l, _, _), _ = jax.lax.scan(
+            step, (acc, m, l, kk, vv), jnp.arange(1, n)
+        )
+    l = jnp.maximum(l, 1e-30)
+    o_pad = acc / l[..., None]
+    lse = m + jnp.log(l)
+    out = o_pad[:, :Tl].reshape(B, H, Tl, D).astype(q.dtype)
+    return out, (q, k, v, o_pad, lse)
+
+
+def _ring_bwd(axis_name, res, g):
+    """Backward ring pass: q/do/lse/delta stay local; (k, v, dk, dv) rotate
+    together, each visiting chunk collecting its gradient contribution from
+    every q shard. After n hops the accumulators are back home."""
+    q, k, v, o_pad, lse = res
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.psum(1, axis_name)
+    B, H, Tl, D = q.shape
+    BH = B * H
+    Tlp = att._pick_chunk_blk(Tl)[1]
+    dt = att._dots_dtype()
+    qp = _prep(q, Tlp, dt)
+    kp = _prep(k, Tlp, dt)
+    vp = _prep(v, Tlp, dt)
+    dop = _prep(g, Tlp, dt)
+    delta = jnp.sum(dop.astype(jnp.float32) * o_pad, axis=-1)  # (BH, Tlp)
+    scale = 1.0 / np.sqrt(D)
+    q_start = idx * Tl
+    perm = [(j, (j + 1) % n) for j in range(n)]
+    rot = lambda x: jax.lax.ppermute(x, axis_name, perm)
+
+    # hop 0: init variant seeds dQ/dK/dV in-kernel (no HBM carry-in read)
+    dq, dk, dv = att._ring_chunk_bwd(
+        qp, kp, vp, dop, lse, delta, None, None, None,
+        q_start, idx * Tl, Tl, scale, vma=(axis_name,),
+    )
+    if n > 1:
+        kk, vv, dk, dv = rot(kp), rot(vp), rot(dk), rot(dv)
+
+        def step(carry, i):
+            dq, kk, vv, dk, dv = carry
+            src = (idx - i) % n
+            dq, dk, dv = att._ring_chunk_bwd(
+                qp, kk, vv, dop, lse, delta, dq, dk, dv,
+                q_start, src * Tl, Tl, scale, vma=(axis_name,),
+            )
+            return (dq, rot(kk), rot(vv), rot(dk), rot(dv)), None
+
+        (dq, _, _, dk, dv), _ = jax.lax.scan(
+            step, (dq, kk, vv, dk, dv), jnp.arange(1, n)
+        )
+    unpad = lambda x, like: (
+        x[:, :Tl].reshape(B, H, Tl, D).astype(like.dtype)
+    )
+    return unpad(dq, q), unpad(dk, k), unpad(dv, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _local_ring_attention(axis_name, q, k, v):
+    """Per-device body: q stays, k/v rotate. Shards are (B, H, Tl, D)."""
+    return _ring_fwd(axis_name, q, k, v)[0]
+
+
+_local_ring_attention.defvjp(_ring_fwd, _ring_bwd)
 
 
 def ring_causal_attention(q, k, v, mesh=None, axis=None):
@@ -85,7 +151,7 @@ def ring_causal_attention(q, k, v, mesh=None, axis=None):
 
     T must divide evenly by the axis size. Output matches
     ops.attention.xla_causal_attention (same math, distributed); gradients
-    flow through the ring (scan + ppermute autodiff).
+    flow through the paired backward ring pass.
     """
     from generative_models_tpu.parallel import SEQ_AXIS, get_mesh
 
@@ -93,10 +159,15 @@ def ring_causal_attention(q, k, v, mesh=None, axis=None):
     axis = axis or SEQ_AXIS
     assert axis in mesh.axis_names, f'mesh {mesh.axis_names} lacks {axis!r}'
     spec = P(None, None, axis, None)
+    # check_vma=False: jax 0.9 cannot type interpret-mode pallas_call
+    # bodies under the varying-manual-axes checker (jax suggests this
+    # workaround in the error itself); the ring body is still fully
+    # device-varying by construction.
     f = shard_map(
-        functools.partial(_local_ring_attention, axis_name=axis),
+        functools.partial(_local_ring_attention, axis),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
+        check_vma=False,
     )
     return f(q, k, v)
