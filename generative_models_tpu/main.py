@@ -27,7 +27,9 @@ import jax
 import numpy as np
 
 from generative_models_tpu import data as data_lib
-from generative_models_tpu.parallel import make_mesh, maybe_initialize_distributed, set_mesh
+from generative_models_tpu.parallel import (
+    make_mesh, maybe_initialize_distributed, set_mesh,
+)
 from generative_models_tpu.utils import (
     count_vars,
     discover_models,

@@ -55,28 +55,31 @@ class Discriminator(nn.Module):
     @nn.compact
     def __call__(self, x, train=True):
         H = self.hidden
-        x = nn.leaky_relu(
-            nn.Conv(H, (3, 3), strides=2, padding='VALID', kernel_init=dcgan_normal_init())(x),
-            0.01,
-        )
+        x = nn.Conv(
+            H, (3, 3), strides=2, padding='VALID', kernel_init=dcgan_normal_init()
+        )(x)
+        x = nn.leaky_relu(x, 0.01)
         for stride in [2, 1]:
             x = nn.Conv(
-                H, (3, 3), strides=stride, padding='VALID', kernel_init=dcgan_normal_init()
+                H, (3, 3), strides=stride, padding='VALID',
+                kernel_init=dcgan_normal_init(),
             )(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9,
                 scale_init=dcgan_normal_init(),
             )(x)
             x = nn.leaky_relu(x, 0.01)
-        x = nn.Conv(1, (3, 3), strides=2, padding='VALID', kernel_init=dcgan_normal_init())(x)
+        x = nn.Conv(
+            1, (3, 3), strides=2, padding='VALID', kernel_init=dcgan_normal_init()
+        )(x)
         return x.reshape(x.shape[0])  # logits
 
 
 def bce_with_logits(logits, target):
     """Same value as BCELoss(sigmoid(logits), target), computed stably."""
-    return jnp.mean(
-        -(target * jax.nn.log_sigmoid(logits) + (1 - target) * jax.nn.log_sigmoid(-logits))
-    )
+    pos = target * jax.nn.log_sigmoid(logits)
+    neg = (1 - target) * jax.nn.log_sigmoid(-logits)
+    return jnp.mean(-(pos + neg))
 
 
 @register

@@ -42,7 +42,9 @@ class CausalSelfAttention(nn.Module):
         return constrain(h, 'data', 'model', None, None)
 
     def __call__(self, x):
-        q, k, v = self._heads(self.query(x)), self._heads(self.key(x)), self._heads(self.value(x))
+        q = self._heads(self.query(x))
+        k = self._heads(self.key(x))
+        v = self._heads(self.value(x))
         if self.use_ring:
             from generative_models_tpu.parallel.ring_attention import (
                 ring_causal_attention,
@@ -54,17 +56,18 @@ class CausalSelfAttention(nn.Module):
         B, H, T, D = y.shape
         return self.proj(y.transpose(0, 2, 1, 3).reshape(B, T, H * D))
 
-    def step(self, x_t, k_cache, v_cache, t):
-        """x_t: (B, C); caches: (B, H, T, D); returns (y_t, k_cache, v_cache)."""
+    def step(self, x_t, kv_cache, t):
+        """x_t: (B, C); kv_cache: (T, B, 2, H*D) packed T-major (see
+        ops.attention.decode_step_attention for the layout rationale);
+        returns (y_t, kv_cache)."""
         B = x_t.shape[0]
-        to_h = lambda u: u.reshape(B, self.n_head, -1)
-        q = to_h(self.query(x_t))
-        k = to_h(self.key(x_t))
-        v = to_h(self.value(x_t))
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k[:, :, None], (0, 0, t, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v[:, :, None], (0, 0, t, 0))
-        y = decode_step_attention(q, k_cache, v_cache, t)
-        return self.proj(y.reshape(B, -1)), k_cache, v_cache
+        q = self.query(x_t)
+        kv = jnp.stack([self.key(x_t), self.value(x_t)], 1)  # (B, 2, HD)
+        kv_cache = jax.lax.dynamic_update_slice(
+            kv_cache, kv.astype(kv_cache.dtype)[None], (t, 0, 0, 0)
+        )
+        y = decode_step_attention(q, kv_cache, t, self.n_head)
+        return self.proj(y.astype(x_t.dtype)), kv_cache
 
 
 class Block(nn.Module):
@@ -97,11 +100,11 @@ class Block(nn.Module):
         x = x + self._mlp(self.ln2(x))
         return x
 
-    def step(self, x_t, k_cache, v_cache, t):
-        a, k_cache, v_cache = self.attn.step(self.ln1(x_t), k_cache, v_cache, t)
+    def step(self, x_t, kv_cache, t):
+        a, kv_cache = self.attn.step(self.ln1(x_t), kv_cache, t)
         x_t = x_t + a
         x_t = x_t + self._mlp(self.ln2(x_t))
-        return x_t, k_cache, v_cache
+        return x_t, kv_cache
 
 
 class TransformerNet(nn.Module):
@@ -144,11 +147,11 @@ class TransformerNet(nn.Module):
         return self.head_layer(self.ln_f(h))
 
     def init_cache(self, batch):
-        d = self.n_embed // self.n_head
+        from generative_models_tpu.ops.attention import decode_cache_dtype
+
         return [
-            (
-                jnp.zeros((batch, self.n_head, self.block_size, d)),
-                jnp.zeros((batch, self.n_head, self.block_size, d)),
+            jnp.zeros(
+                (self.block_size, batch, 2, self.n_embed), decode_cache_dtype()
             )
             for _ in range(self.n_layer)
         ]
@@ -157,9 +160,9 @@ class TransformerNet(nn.Module):
         """prev_token: (B, in_size) (zeros at t=0); returns (logits_t, caches)."""
         h = self.embed(prev_token) + self.pos_emb[0, t]
         new_caches = []
-        for block, (kc, vc) in zip(self.blocks, caches):
-            h, kc, vc = block.step(h, kc, vc, t)
-            new_caches.append((kc, vc))
+        for block, kv in zip(self.blocks, caches):
+            h, kv = block.step(h, kv, t)
+            new_caches.append(kv)
         return self.head_layer(self.ln_f(h)).logits, new_caches
 
 

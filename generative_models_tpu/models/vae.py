@@ -10,7 +10,9 @@ import jax
 import jax.numpy as jnp
 
 from generative_models_tpu.models.base import GM
-from generative_models_tpu.utils import combine_imgs, dists, register, write_grid, write_image
+from generative_models_tpu.utils import (
+    combine_imgs, dists, register, write_grid, write_image,
+)
 from generative_models_tpu.utils.config import AttrDict
 from generative_models_tpu.utils.dists import normal_kl
 
@@ -45,7 +47,9 @@ class ConvDecoder(nn.Module):
         x = nn.relu(nn.ConvTranspose(H, (5, 5), strides=(1, 1), padding='VALID')(x))
         x = nn.relu(nn.ConvTranspose(H, (4, 4), strides=(2, 2), padding='VALID')(x))
         x = nn.relu(nn.ConvTranspose(H, (4, 4), strides=(2, 2), padding='VALID')(x))
-        x = nn.ConvTranspose(self.out_channels, (3, 3), strides=(1, 1), padding='VALID')(x)
+        x = nn.ConvTranspose(
+            self.out_channels, (3, 3), strides=(1, 1), padding='VALID'
+        )(x)
         return x
 
 
@@ -84,10 +88,14 @@ class VAE(GM):
         super().__init__(G)
         self._jit_sample = jax.jit(self.sample_fn, static_argnums=1)
         self._jit_encode = jax.jit(
-            lambda state, x: self.net.apply({'params': state.params}, x, method=VAENet.encode)
+            lambda state, x: self.net.apply(
+                {'params': state.params}, x, method=VAENet.encode
+            )
         )
         self._jit_decode = jax.jit(
-            lambda state, z: self.net.apply({'params': state.params}, z, method=VAENet.decode)
+            lambda state, z: self.net.apply(
+                {'params': state.params}, z, method=VAENet.decode
+            )
         )
 
     def loss(self, params, x, y=None, rng=None, train=True):
@@ -119,7 +127,8 @@ class VAE(GM):
         samples = self.sample(25)
         write_grid(writer, 'samples', samples, epoch)
         mu, _ = self._jit_encode(self.state, x[:8])
-        recon = (jax.nn.sigmoid(self._jit_decode(self.state, mu)) > 0.5).astype(jnp.float32)
+        logits = self._jit_decode(self.state, mu)
+        recon = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
         truth = x[:8]
         error = (recon - truth + 1.0) / 2.0
         stack = jnp.concatenate([truth, recon, error], 0)

@@ -20,7 +20,9 @@ from generative_models_tpu.models.pixel_transformer import (
     transformer_sample_scan,
 )
 from generative_models_tpu.ops.quantize import vq_quantize
-from generative_models_tpu.utils import combine_imgs, dists, register, write_grid, write_image
+from generative_models_tpu.utils import (
+    combine_imgs, dists, register, write_grid, write_image,
+)
 from generative_models_tpu.utils.config import AttrDict
 
 

@@ -841,16 +841,39 @@ def _ca_bwd(use_pallas, res, g):
 causal_attention.defvjp(_ca_fwd, _ca_bwd)
 
 
-def decode_step_attention(q1, k_cache, v_cache, t):
-    """Single-token attention against a KV cache for sampling.
+def decode_step_attention(q1, kv_cache, t, n_head):
+    """Single-token attention against a packed T-major KV cache.
 
-    q1: (B, H, D); k_cache/v_cache: (B, H, T, D); t: current index (traced).
-    Attends to positions 0..t inclusive.
+    q1: (B, H*D) the current token's query; kv_cache: (T, B, 2, H*D) with
+    K at [:, :, 0] and V at [:, :, 1]; t: current index (traced). Attends
+    to positions 0..t inclusive; returns (B, H*D).
+
+    Layout rationale (measured on v5e, B=25 T=784 H=4 D=32): T-major makes
+    the per-token cache write one contiguous fully-tiled
+    dynamic_update_slice, and the H*D last dim keeps lanes full. The
+    previous (B, H, T, D) layout padded its D=32 tail 4x in VMEM tiles and
+    forced a full padded-buffer copy per update (~33 us each); this layout
+    + a bf16 cache cut the 784-step sampling scan 259 -> ~70 ms.
     """
-    scale = 1.0 / np.sqrt(q1.shape[-1])
-    att = jnp.einsum('bhd,bhkd->bhk', q1, k_cache) * scale
-    T = k_cache.shape[2]
-    valid = jnp.arange(T)[None, None, :] <= t
-    att = jnp.where(valid, att, NEG_INF)
-    att = jax.nn.softmax(att, axis=-1)
-    return jnp.einsum('bhk,bhkd->bhd', att, v_cache)
+    T, B, _, HD = kv_cache.shape
+    D = HD // n_head
+    dt = kv_cache.dtype
+    kc = kv_cache[:, :, 0].reshape(T, B, n_head, D)
+    vc = kv_cache[:, :, 1].reshape(T, B, n_head, D)
+    qh = q1.reshape(B, n_head, D).astype(dt)
+    s = jnp.einsum(
+        'tbhd,bhd->bht', kc, qh, preferred_element_type=jnp.float32
+    ) / np.sqrt(D)
+    s = jnp.where(jnp.arange(T)[None, None] <= t, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    y = jnp.einsum(
+        'bht,tbhd->bhd', p.astype(dt), vc, preferred_element_type=jnp.float32
+    )
+    return y.reshape(B, HD)
+
+
+def decode_cache_dtype():
+    """KV-cache dtype for sampling: bf16 on TPU (halves cache traffic; the
+    training path's attention matmuls are bf16 anyway), f32 elsewhere so
+    CPU tests compare the decode chain against the full forward exactly."""
+    return jnp.bfloat16 if _on_tpu() else jnp.float32

@@ -129,7 +129,8 @@ def _masked_dense_fwd(x, w, b, mask, use_pallas):
     y = _apply(x2d, w, mask, use_pallas)
     if b is not None:
         y = y + b
-    return y.reshape(*batch_shape, w.shape[-1]), (x2d, w, mask, b is not None, batch_shape)
+    res = (x2d, w, mask, b is not None, batch_shape)
+    return y.reshape(*batch_shape, w.shape[-1]), res
 
 
 def _masked_dense_bwd(use_pallas, res, g):

@@ -43,14 +43,19 @@ def dump_logger(logger, writer, i, G):
     # one host sync for everything buffered this epoch
     host_logger = jax.device_get({k: v for k, v in logger.items()})
     for key, val in host_logger.items():
-        mean_val = float(np.mean([np.mean(np.asarray(v)) for v in val])) if isinstance(val, list) else float(np.mean(val))
+        if isinstance(val, list):
+            mean_val = float(np.mean([np.mean(np.asarray(v)) for v in val]))
+        else:
+            mean_val = float(np.mean(val))
         if writer is not None:
             writer.add_scalar(key, mean_val, i)
         print(key, mean_val)
     G.full_cmd = 'python ' + ' '.join(sys.argv)
     try:
         G.commit_hash = (
-            subprocess.check_output(['git', 'rev-parse', 'HEAD'], cwd=Path(__file__).parent)
+            subprocess.check_output(
+                ['git', 'rev-parse', 'HEAD'], cwd=Path(__file__).parent
+            )
             .decode('ascii')
             .strip()
         )
@@ -132,7 +137,8 @@ def combine_imgs(arr, row=5, col=5):
     if arr.ndim == 4:
         bs, h, w, _ = arr.shape
         assert bs == row * col, (bs, row, col)
-        return arr.reshape(row, col, h, w, -1).transpose(0, 2, 1, 3, 4).reshape(row * h, col * w, -1)
+        arr = arr.reshape(row, col, h, w, -1).transpose(0, 2, 1, 3, 4)
+        return arr.reshape(row * h, col * w, -1)
     elif arr.ndim == 5:
         bs, t, h, w, _ = arr.shape
         assert bs == row * col, (bs, row, col)
@@ -143,7 +149,8 @@ def combine_imgs(arr, row=5, col=5):
 
 
 def write_image(writer, tag, img_hw_or_hwc, epoch):
-    img = _to_hwc_uint8(img_hw_or_hwc if img_hw_or_hwc.ndim == 3 else img_hw_or_hwc[..., None])
+    img = img_hw_or_hwc if img_hw_or_hwc.ndim == 3 else img_hw_or_hwc[..., None]
+    img = _to_hwc_uint8(img)
     if writer is not None:
         writer.add_image(tag, img, epoch, dataformats='HWC')
 

@@ -7,6 +7,10 @@ Checks, per file:
   * tabs in indentation / trailing whitespace
   * duplicate dict-literal keys
   * `except:` bare excepts
+  * line length <= 90 (the reference's black -S -l 90 gate, Makefile:8)
+  * stdlib -> third-party -> first-party import-group ordering with
+    alphabetized modules inside each group (the isort black-profile
+    subset that matters, reference Makefile:10)
 
 Exit code 1 on any finding. Run via `make lint`.
 """
@@ -14,6 +18,9 @@ Exit code 1 on any finding. Run via `make lint`.
 import ast
 import sys
 from pathlib import Path
+
+MAX_LINE = 90
+FIRST_PARTY = ('generative_models_tpu', 'tests', 'gms')
 
 ROOTS = ['generative_models_tpu', 'tests', 'scripts', 'bench.py', '__graft_entry__.py']
 
@@ -38,6 +45,48 @@ def used_names(tree):
     return names
 
 
+def _import_group(module):
+    """0 stdlib/future, 1 third-party, 2 first-party (isort sections)."""
+    base = (module or '').split('.')[0]
+    if base in FIRST_PARTY:
+        return 2
+    if base == '__future__' or base in sys.stdlib_module_names:
+        return 0
+    return 1
+
+
+def check_import_order(path, tree):
+    """Top-of-module import block: groups must appear stdlib -> third-party
+    -> first-party, alphabetized (case-insensitive) within each group."""
+    block = []
+    for node in tree.body:
+        if isinstance(node, ast.Import):
+            block.append((node, 0, node.names[0].name))
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:  # relative import: first-party by construction
+                block.append((node, 1, '.' * node.level + (node.module or '')))
+            else:
+                block.append((node, 1, node.module or ''))
+        elif isinstance(node, ast.Expr) and isinstance(node.value, ast.Constant):
+            continue  # module docstring
+        else:
+            break  # end of the leading import block
+    problems = []
+    prev = (-1, 0, '')  # (section, plain-import-vs-from, module)
+    for node, is_from, mod in block:
+        group = 2 if mod.startswith('.') else _import_group(mod)
+        # isort order within a section: `import x` statements first (sorted),
+        # then `from x import y` statements (sorted)
+        key = (group, is_from, mod.lower())
+        if key[:2] < prev[:2] or (key[:2] == prev[:2] and key[2] < prev[2]):
+            problems.append(
+                f'{path}:{node.lineno}: import order: {mod!r} '
+                f'(section {group}) belongs before its predecessor'
+            )
+        prev = key
+    return problems
+
+
 def check_file(path):
     problems = []
     src = path.read_text()
@@ -57,6 +106,10 @@ def check_file(path):
         indent = line[: len(line) - len(body)]
         if '\t' in indent:
             problems.append(f'{path}:{i}: tab in indentation')
+        if len(stripped) > MAX_LINE and i not in noqa and 'http' not in line:
+            problems.append(
+                f'{path}:{i}: line too long ({len(stripped)} > {MAX_LINE})'
+            )
 
     used = used_names(tree)
     # names referenced inside docstring doctests or __all__ strings
@@ -98,6 +151,7 @@ def check_file(path):
                 )
         elif isinstance(node, ast.ExceptHandler) and node.type is None:
             problems.append(f'{path}:{node.lineno}: bare except')
+    problems += check_import_order(path, tree)
     return problems
 
 

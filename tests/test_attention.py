@@ -47,14 +47,21 @@ def test_attention_is_causal():
 
 
 def test_decode_step_matches_full_forward():
-    """KV-cache decoding must reproduce the full causal attention."""
+    """KV-cache decoding (packed T-major cache) must reproduce the full
+    causal attention."""
     q, k, v = _qkv(T=12)
     full = xla_causal_attention(q, k, v)
     B, H, T, D = q.shape
+    # pack (B, H, T, D) k/v into the (T, B, 2, H*D) cache layout
+    to_rows = lambda u: u.transpose(2, 0, 1, 3).reshape(T, B, H * D)
+    kv_cache = jnp.stack([to_rows(k), to_rows(v)], 2)  # (T, B, 2, HD)
     for t in [0, 5, 11]:
-        out_t = decode_step_attention(q[:, :, t], k, v, t)
+        q1 = q[:, :, t].reshape(B, H * D)
+        out_t = decode_step_attention(q1, kv_cache, t, H)
         np.testing.assert_allclose(
-            np.asarray(out_t), np.asarray(full[:, :, t]), rtol=1e-5, atol=1e-5
+            np.asarray(out_t.reshape(B, H, D)),
+            np.asarray(full[:, :, t]),
+            rtol=1e-5, atol=1e-5,
         )
 
 
