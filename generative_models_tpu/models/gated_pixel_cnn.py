@@ -82,12 +82,18 @@ class GatedConv2d(nn.Module):
 
     def __call__(self, x):
         k = self.kernel_size
+        p = k // 2
         vx, hx = jnp.split(x, 2, axis=-1)
-        conv = lambda inp, ker: jax.lax.conv_general_dilated(
-            inp, ker, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC')
+        conv = lambda inp, ker, pad: jax.lax.conv_general_dilated(
+            inp, ker, (1, 1), pad, dimension_numbers=('NHWC', 'HWIO', 'NHWC')
         )
-        vx_out = conv(vx, self.v_kernel * vstack_mask(k))
-        hx_new = conv(hx, self.h_kernel * hstack_mask(k, self.mask_type))
+        # the stack masks zero whole kernel rows/cols, so run the convs on
+        # the cropped causal support with shifted (possibly negative)
+        # padding — bit-identical to the masked full conv, ~43% fewer taps.
+        # v keeps rows [:p+1]; h keeps cols [:p+1] (B) or [:p] (A).
+        end = p + 1 if self.mask_type == 'B' else p
+        vx_out = conv(vx, self.v_kernel[: p + 1], [(p, 0), (p, p)])
+        hx_new = conv(hx, self.h_kernel[:, :end], [(0, 0), (p, end - p - 1)])
         # vertical -> horizontal link through a 1x1 on the down-shifted vstack
         hx_new = hx_new + self.link(down_shift(vx_out))
         vx_out = self._gate(vx_out)

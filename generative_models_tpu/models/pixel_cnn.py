@@ -60,8 +60,13 @@ class MaskConv2d(nn.Module):
         if window:
             y = jnp.einsum('nhwc,hwcf->nf', x, kernel * mask)
         else:
+            # the mask zeroes every kernel row below center, so crop the
+            # kernel to rows [:p+1] and shift the padding up — bit-identical
+            # output with ~43% less MXU work (k=7: 49 -> 28 taps)
+            p = k // 2
             y = jax.lax.conv_general_dilated(
-                x, kernel * mask, window_strides=(1, 1), padding='SAME',
+                x, (kernel * mask)[: p + 1], window_strides=(1, 1),
+                padding=[(p, 0), (p, p)],
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
             )
         if self.use_bias:
