@@ -98,12 +98,34 @@ def write_grid(writer, tag, x, epoch):
         writer.add_image(tag, img, epoch, dataformats='HWC')
 
 
+def _tb_animated_gif(writer, tag, gif_bytes, h, w, epoch):
+    """Write an already-encoded animated GIF as a TB image summary — the
+    same wire format torch's add_video produces (it renders animated in the
+    TensorBoard images tab), but without the moviepy dependency it requires.
+    Returns True on success."""
+    try:
+        from tensorboard.compat.proto.summary_pb2 import Summary
+
+        img = Summary.Image(
+            encoded_image_string=gif_bytes, height=h, width=w, colorspace=3
+        )
+        summary = Summary(value=[Summary.Value(tag=tag, image=img)])
+        writer._get_file_writer().add_summary(summary, epoch)
+        return True
+    except Exception:  # non-torch writer / proto mismatch: caller falls back
+        return False
+
+
 def write_gridvid(writer, tag, x, epoch, logdir=None):
     """(T, 25, H, W, C) sampling-process video (reference:
-    gms/common.py:183-193). Saved as an animated GIF next to the TB logs plus
-    a subsampled filmstrip image inside TB itself. The per-frame tiling+u8
-    conversion runs through the native C++ runtime when available (784-frame
-    stacks are the host-side viz hot path)."""
+    gms/common.py:183-193). Encoded once as an animated GIF, which is both
+    saved next to the TB logs and embedded in TensorBoard as a NATIVE
+    animated video summary (reference uses writer.add_video; same proto,
+    built here from the imageio-encoded bytes since moviepy — torch's
+    add_video backend — is not in the env). Falls back to a subsampled
+    filmstrip image if the writer has no proto access. The per-frame
+    tiling+u8 conversion runs through the native C++ runtime when available
+    (784-frame stacks are the host-side viz hot path)."""
     x = to_numpy(x)
     T = x.shape[0]
     if x.dtype != np.uint8 and x.shape[1] == 25:
@@ -116,18 +138,30 @@ def write_gridvid(writer, tag, x, epoch, logdir=None):
     else:
         frames = [_to_hwc_uint8(grid_image(x[t])) for t in range(T)]
     fps = max(1, min(T // 3, 60))
-    if logdir is not None and imageio is not None:
+    gif_bytes = None
+    if imageio is not None:
+        import io
+
+        buf = io.BytesIO()
+        imageio.mimsave(
+            buf, frames, format='GIF', duration=1000.0 / fps, loop=0
+        )
+        gif_bytes = buf.getvalue()
+    if logdir is not None and gif_bytes is not None:
         gif_dir = Path(logdir)
         gif_dir.mkdir(parents=True, exist_ok=True)
         safe_tag = tag.replace('/', '_')
-        imageio.mimsave(
-            gif_dir / f'{safe_tag}_{epoch}.gif', frames, duration=1000.0 / fps, loop=0
-        )
+        (gif_dir / f'{safe_tag}_{epoch}.gif').write_bytes(gif_bytes)
     if writer is not None:
-        # filmstrip: 8 evenly spaced frames side by side
-        idxs = np.linspace(0, T - 1, num=min(8, T)).astype(int)
-        strip = np.concatenate([frames[i] for i in idxs], axis=1)
-        writer.add_image(tag, strip, epoch, dataformats='HWC')
+        h, w = frames[0].shape[:2]
+        ok = gif_bytes is not None and _tb_animated_gif(
+            writer, tag, gif_bytes, h, w, epoch
+        )
+        if not ok:
+            # filmstrip: 8 evenly spaced frames side by side
+            idxs = np.linspace(0, T - 1, num=min(8, T)).astype(int)
+            strip = np.concatenate([frames[i] for i in idxs], axis=1)
+            writer.add_image(tag, strip, epoch, dataformats='HWC')
 
 
 def combine_imgs(arr, row=5, col=5):

@@ -80,3 +80,37 @@ def test_logger_flush_means(tmp_path):
     fresh = dump_logger(logger, None, 0, G)
     assert len(fresh) == 0
     assert (tmp_path / 'hps.yaml').exists()
+
+
+def test_gridvid_tb_native_animated_gif(tmp_path):
+    """write_gridvid embeds the animated GIF as a TB-native image summary
+    (the same wire format torch's add_video produces) AND writes the GIF
+    file next to the logs."""
+    import glob
+
+    from torch.utils.tensorboard import SummaryWriter
+
+    from generative_models_tpu.utils.logger import write_gridvid
+
+    w = SummaryWriter(str(tmp_path))
+    x = np.random.rand(6, 25, 28, 28, 1).astype(np.float32)
+    write_gridvid(w, 'test/vid', x, 0, logdir=str(tmp_path))
+    w.flush()
+    w.close()
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader,
+    )
+
+    found = False
+    for f in glob.glob(str(tmp_path / 'events*')):
+        for ev in EventFileLoader(f).Load():
+            if not ev.HasField('summary'):
+                continue
+            for v in ev.summary.value:
+                if v.tag == 'test/vid' and v.HasField('tensor'):
+                    enc = v.tensor.string_val[2]
+                    assert enc[:6] in (b'GIF89a', b'GIF87a')
+                    assert v.metadata.plugin_data.plugin_name == 'images'
+                    found = True
+    assert found, 'no TB-native animated image summary written'
+    assert (tmp_path / 'test_vid_0.gif').exists()
