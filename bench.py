@@ -73,6 +73,21 @@ def timeit(fn, n=2, warmup=1):
     return (time.perf_counter() - t0) / n
 
 
+_DATASETS = {}
+
+
+def _bench_dataset(G):
+    """Shared Dataset per binarize flag — the SAME shuffled-permutation data
+    path training uses (data/mnist.py), so throughput is measured on
+    realistic distinct batches, not one broadcast batch."""
+    key = int(G.binarize)
+    if key not in _DATASETS:
+        _DATASETS[key] = __import__(
+            'generative_models_tpu.data', fromlist=['load_mnist']
+        ).load_mnist(G)
+    return _DATASETS[key]
+
+
 def bench_model(name, extra, rng):
     from generative_models_tpu.utils import discover_models
     from generative_models_tpu.utils.config import parse_args
@@ -82,15 +97,12 @@ def bench_model(name, extra, rng):
         discover_models=discover_models,
     )
     model = Model(G=G)
-    if G.binarize:
-        x = jnp.asarray((rng.rand(64, 28, 28, 1) > 0.5), jnp.float32)
-    else:
-        x = jnp.asarray(rng.randn(64, 28, 28, 1), jnp.float32)
-    y = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
+    ds = _bench_dataset(G)
 
-    # ---- train throughput: whole epoch scanned inside one jit ----
-    ex = jnp.broadcast_to(x, (EPOCH_STEPS, *x.shape))
-    ey = jnp.broadcast_to(y, (EPOCH_STEPS, *y.shape))
+    # ---- train throughput: whole epoch scanned inside one jit, on real
+    # shuffled batches from the training data path ----
+    bx, by = ds.epoch_batches(jax.random.key(0))
+    ex, ey = bx[:EPOCH_STEPS], by[:EPOCH_STEPS]
     dte = timeit(lambda: model.train_epoch(ex, ey), n=2, warmup=1)
     sps = EPOCH_STEPS / dte
     extra[f'{name}_train_steps_per_sec'] = sps

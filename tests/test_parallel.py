@@ -196,3 +196,21 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
     # restore the default mesh for any later tests
     set_mesh(make_mesh('', jax.devices()))
+
+
+def test_maybe_initialize_distributed_gates_on_env(monkeypatch):
+    """The multi-host DCN hook must call jax.distributed.initialize exactly
+    when the coordinator env var is present (mesh.py); nothing can exercise
+    a real DCN here, so the call boundary itself is the contract."""
+    from generative_models_tpu.parallel import maybe_initialize_distributed
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, 'initialize', lambda *a, **k: calls.append(1)
+    )
+    monkeypatch.delenv('JAX_COORDINATOR_ADDRESS', raising=False)
+    maybe_initialize_distributed()
+    assert calls == []
+    monkeypatch.setenv('JAX_COORDINATOR_ADDRESS', '10.0.0.1:1234')
+    maybe_initialize_distributed()
+    assert calls == [1]
