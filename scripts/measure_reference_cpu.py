@@ -126,18 +126,18 @@ def model_specs():
     return {
         'made': (std(MADE), 'nlogp', 1, 48, 10),
         'rnn': (std(RNN), 'nlogp', 1, 24, 5),
-        'wavenet': (std(Wavenet), 'nlogp', 1, 16, 3),
-        'pixel_cnn': (std(PixelCNN), 'nlogp', 1, 16, 3),
-        'gated_pixel_cnn': (std(GatedPixelCNN), 'nlogp', 1, 16, 3),
-        'pixel_transformer': (std(PixelTransformer), 'nlogp', 1, 12, 3),
+        'wavenet': (std(Wavenet), 'nlogp', 1, 24, 3),
+        'pixel_cnn': (std(PixelCNN), 'nlogp', 1, 24, 3),
+        'gated_pixel_cnn': (std(GatedPixelCNN), 'nlogp', 1, 24, 3),
+        'pixel_transformer': (std(PixelTransformer), 'nlogp', 1, 20, 3),
         'vae': (std(VAE), 'vae_loss', 1, 48, 10),
-        'vqvae': (std(VQVAE), 'vq_vae_loss', 1, 16, 3),
+        'vqvae': (std(VQVAE), 'vq_vae_loss', 1, 24, 3),
         'gan': (std(GAN, binarize=0), 'disc/loss', 0, 32, 5),
         'autoencoder': (std(Autoencoder, binarize=0), 'full_loss', 0, 48, 10),
         'classifier': (std(Classifier, binarize=0), 'cross_entropy_loss', 0, 48, 10),
         'diffusion': (
             lambda: (torch.manual_seed(0), make_diffusion_stepper())[1],
-            'loss', 0, 12, 3,
+            'loss', 0, 20, 3,
         ),
     }
 

@@ -72,7 +72,9 @@ def test_sample_shapes():
 def test_save_load_roundtrip(tmp_path):
     G = small_G()
     model = MADE(G)
-    x = jnp.asarray((np.random.RandomState(0).rand(16, 28, 28, 1) > 0.5).astype(np.float32))
+    x = jnp.asarray(
+        (np.random.RandomState(0).rand(16, 28, 28, 1) > 0.5).astype(np.float32)
+    )
     model.train_step(x, None)
     model.save(tmp_path)
     model2 = MADE(small_G())

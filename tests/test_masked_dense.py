@@ -57,7 +57,9 @@ def test_k_blocked_accumulation_path():
     y_p = masked_dense(x, w, b, m, True)
     y_x = x @ (w * m) + b
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-4, atol=1e-4)
-    g_p = jax.grad(lambda x, w: masked_dense(x, w, b, m, True).sum(), argnums=(0, 1))(x, w)
+    g_p = jax.grad(
+        lambda x, w: masked_dense(x, w, b, m, True).sum(), argnums=(0, 1)
+    )(x, w)
     g_x = jax.grad(lambda x, w: ((x @ (w * m)) + b).sum(), argnums=(0, 1))(x, w)
     for a, bb in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-4)
