@@ -4,6 +4,11 @@ test:
 test-fast:
 	python -m pytest tests/ -x -q -k "not smoke and not parity_curves and not curve_parity"
 
+test-parity-tpu:  # the 12-model parity suite on the real chip (~15 min; on
+	# the 1-core XLA-CPU fallback some conv-model jit compiles alone take
+	# 20+ min, so prefer this when a chip is attached)
+	GMT_TESTS_ON_TPU=1 python -m pytest tests/test_parity_curves.py -v
+
 bench:
 	python bench.py
 
@@ -14,4 +19,4 @@ lint:
 	python -m compileall -q generative_models_tpu tests scripts bench.py __graft_entry__.py
 	python scripts/lint.py
 
-.PHONY: test test-fast bench lint arbiters
+.PHONY: test test-fast test-parity-tpu bench lint arbiters

@@ -12,8 +12,11 @@ from pathlib import Path
 
 _REPO = str(Path(__file__).resolve().parent.parent)
 
+_ON_TPU = os.environ.get('GMT_TESTS_ON_TPU') == '1'
+
 _NEEDS_REEXEC = (
-    os.environ.get('GMT_CPU_REEXEC') != '1'
+    not _ON_TPU
+    and os.environ.get('GMT_CPU_REEXEC') != '1'
     and '.axon_site' in os.environ.get('PYTHONPATH', '')
 )
 
@@ -70,19 +73,25 @@ if _NEEDS_REEXEC:
         sys.executable, [sys.executable, '-m', 'pytest'] + sys.argv[1:], env
     )
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-_flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in _flags:
-    os.environ['XLA_FLAGS'] = (
-        _flags + ' --xla_force_host_platform_device_count=8'
-    ).strip()
+if not _ON_TPU:
+    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    _flags = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in _flags:
+        os.environ['XLA_FLAGS'] = (
+            _flags + ' --xla_force_host_platform_device_count=8'
+        ).strip()
 
 import jax
 
-assert jax.default_backend() == 'cpu' and len(jax.devices()) == 8, (
-    jax.default_backend(),
-    jax.devices(),
-)
+if not _ON_TPU:
+    assert jax.default_backend() == 'cpu' and len(jax.devices()) == 8, (
+        jax.default_backend(),
+        jax.devices(),
+    )
+# GMT_TESTS_ON_TPU=1 runs targeted single-device suites (parity curves,
+# smoke) on the real chip, where jit compiles take seconds instead of the
+# 20+ minutes XLA-CPU/LLVM needs for some conv graphs on this 1-core host.
+# Mesh/sharding tests still require the default 8-device CPU mode.
 
 import pytest  # noqa: E402
 

@@ -12,6 +12,13 @@ faster at the same hyperparameters). Exact math parity is pinned separately
 in tests/test_diffusion_math.py.
 
 Reference training loop being mirrored: gms/main.py:152-217.
+
+Every model is compared on >= 20 aligned steps, the curve must descend
+through its windowed thirds whenever the reference learned, and gan (whose
+adversarial disc loss has no 'lower is better') is asserted inside a
+two-sided band around the reference level. Runtime: ~15 min for all 12 on
+one chip (`make test-parity-tpu`, GMT_TESTS_ON_TPU=1); on the 1-core
+XLA-CPU fallback some conv-model jit compiles alone exceed 20 min.
 """
 
 import json
@@ -51,17 +58,21 @@ TOL = {
     'autoencoder': 0.40,
     'classifier': 0.30,
 }
+# oscillating metrics (GAN disc loss has no 'lower is better'): assert a
+# two-sided band around the reference level instead of one-sided tolerance
+BAND = {'gan': 3.0}
 # CPU-runtime caps: run only this many steps, compare against the same-length
-# prefix of the reference curve (XLA-CPU convs are minutes/step for some)
+# prefix of the reference curve (XLA-CPU convs are seconds-to-minutes/step
+# for the conv models). Every model is compared on >= 20 aligned steps.
 CAP = {
-    'gan': 6,
-    'wavenet': 8,
-    'pixel_cnn': 12,
-    'gated_pixel_cnn': 12,
-    'rnn': 16,
+    'gan': 20,
+    'wavenet': 20,
+    'pixel_cnn': 20,
+    'gated_pixel_cnn': 20,
+    'rnn': 20,
     # vae converges slower early but matches by ~step 48: no cap
     'autoencoder': 24,
-    'vqvae': 16,
+    'vqvae': 20,
 }
 
 
@@ -100,30 +111,38 @@ def window_mean(curve, last=True):
     return float(np.mean(curve[-n:] if last else curve[:n]))
 
 
-@pytest.mark.parametrize('name', sorted(k for k in REF if k != 'gan'))
+def thirds(curve):
+    n = max(1, len(curve) // 3)
+    return [float(np.mean(curve[:n])), float(np.mean(curve[n:-n] or curve)),
+            float(np.mean(curve[-n:]))]
+
+
+@pytest.mark.parametrize('name', sorted(REF))
 def test_loss_curve_parity(name):
     ours, ref = run_ours(name)
     assert np.all(np.isfinite(ours)), ours
-    # shape: if the reference learned over this window, we must too
+    assert len(ours) >= 20, f'{name}: only {len(ours)} aligned steps'
+    rf, of = window_mean(ref), window_mean(ours)
+    if name in BAND:  # oscillating metric: two-sided band around the ref
+        band = BAND[name]
+        assert rf / band <= of <= rf * band, (
+            f'{name}: ours {of:.4f} outside {band}x band of ref {rf:.4f}'
+        )
+        return
+    # shape: if the reference learned over this window, our curve must both
+    # learn AND descend through its windowed thirds (5% noise slack)
     if window_mean(ref) < 0.95 * window_mean(ref, last=False):
         assert window_mean(ours) < window_mean(ours, last=False), (
             name, ours[:3], ours[-3:],
         )
+        w1, w2, w3 = thirds(ours)
+        slack = 0.05 * max(abs(w1), 0.05)
+        assert w2 <= w1 + slack and w3 <= w2 + slack, (
+            f'{name}: curve not monotonically improving through thirds '
+            f'({w1:.4f}, {w2:.4f}, {w3:.4f}); full ours={ours}'
+        )
     # level: no worse than the reference beyond tolerance (better is fine)
-    rf, of = window_mean(ref), window_mean(ours)
     assert of <= rf + TOL[name] * max(abs(rf), 0.05), (
         f'{name}: ours {of:.4f} vs reference {rf:.4f} '
         f'(tol {TOL[name]:.0%}); full ours={ours} ref={ref}'
-    )
-
-
-@pytest.mark.skipif('gan' not in REF, reason='no recorded reference gan curve')
-def test_gan_curve_parity():
-    """GAN losses oscillate; assert the discriminator loss stays in the same
-    band as the reference (within 3x) and everything stays finite."""
-    ours, ref = run_ours('gan')
-    assert np.all(np.isfinite(ours)), ours
-    rf, of = window_mean(ref), window_mean(ours)
-    assert rf / 3 <= of <= rf * 3, (
-        f'gan disc/loss: ours {of:.4f} vs reference {rf:.4f}'
     )
