@@ -147,6 +147,14 @@ def train(model, dataset, autoencoder, classifier, G):
                     f'{G.model}/test/{key}' if key != 'nlogp' else 'eval/nlogp'
                 )
                 logger[prefix_key].append(float(val))
+            if getattr(model, 'is_autoreg', False) and 'nlogp' in test_metrics:
+                # test-set bits/dim for autoregressive likelihood models: the
+                # AR losses are mean per-pixel Bernoulli NLL in nats, so
+                # bits/dim = nlogp / ln 2. (The reference lists this as a
+                # TODO, reference README.md:145-148; implemented here.)
+                logger['eval/bits_per_dim'].append(
+                    float(test_metrics['nlogp']) / float(np.log(2.0))
+                )
         test_x, test_y = dataset.first_test_batch(epoch)
         eval_time = time.time()
         model.evaluate(writer, test_x, test_y, epoch)

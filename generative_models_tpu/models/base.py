@@ -278,6 +278,8 @@ class Autoreg(GM):
     """Shared evaluate for autoregressive models (reference:
     gms/common.py:196-201): 25 samples -> 5x5 grid + sampling-process video."""
 
+    is_autoreg = True  # enables eval/bits_per_dim logging in the harness
+
     def evaluate(self, writer, x, y, epoch):
         samples, gen = self.sample(25)
         write_grid(writer, 'samples', samples, epoch)
