@@ -71,12 +71,14 @@ def dump_logger(logger, writer, i, G):
     return make_logger()
 
 
-def _to_hwc_uint8(x):
-    """(H, W, C) float in [0,1] or uint8 -> uint8 HWC with 1->3 channels."""
+def _to_hwc_uint8(x, expand=True):
+    """(H, W, C) float in [0,1] or uint8 -> uint8 HWC; expand=True repeats
+    single channels to 3 (viewer-friendly), expand=False keeps C=1 so the
+    native grayscale GIF encoder can be used."""
     x = to_numpy(x)
     if x.dtype != np.uint8:
         x = (np.clip(x, 0.0, 1.0) * 255).astype(np.uint8)
-    if x.shape[-1] == 1:
+    if expand and x.shape[-1] == 1:
         x = np.repeat(x, 3, axis=-1)
     return x
 
@@ -126,20 +128,29 @@ def write_gridvid(writer, tag, x, epoch, logdir=None):
     filmstrip image if the writer has no proto access. The per-frame
     tiling+u8 conversion runs through the native C++ runtime when available
     (784-frame stacks are the host-side viz hot path)."""
+    from generative_models_tpu import native
+
     x = to_numpy(x)
     T = x.shape[0]
     if x.dtype != np.uint8 and x.shape[1] == 25:
-        from generative_models_tpu import native
-
         frames = [
-            np.repeat(native.tile_grid_u8(x[t].astype(np.float32), 5, 5), 3, axis=-1)
-            for t in range(T)
+            native.tile_grid_u8(x[t].astype(np.float32), 5, 5) for t in range(T)
         ]
     else:
-        frames = [_to_hwc_uint8(grid_image(x[t])) for t in range(T)]
+        frames = [
+            _to_hwc_uint8(grid_image(x[t]), expand=False) for t in range(T)
+        ]
     fps = max(1, min(T // 3, 60))
     gif_bytes = None
-    if imageio is not None:
+    if frames[0].shape[-1] == 1:
+        # grayscale stack: native C++ GIF89a encoder (LZW, 256-gray
+        # palette) — ~20x faster than imageio on the 1-core host
+        gif_bytes = native.gif_encode_gray(
+            np.stack(frames)[..., 0], fps=fps
+        )
+    frames = [np.repeat(f, 3, axis=-1) if f.shape[-1] == 1 else f
+              for f in frames]
+    if gif_bytes is None and imageio is not None:
         import io
 
         buf = io.BytesIO()

@@ -52,3 +52,54 @@ def test_tile_grid_matches_numpy():
         np.testing.assert_allclose(
             tiled.astype(int), ref.astype(int), atol=1
         )
+
+
+def test_gif_encode_gray_roundtrip():
+    """Native GIF89a encoder: decoded frames must be bit-identical to the
+    input (gray-ramp palette, index == intensity). Exercises LZW dictionary
+    resets (noise frames) and width growth boundaries (varied sizes)."""
+    pytest.importorskip('PIL')
+    import io
+
+    from PIL import Image
+
+    if not native.available():
+        assert native.gif_encode_gray(np.zeros((2, 8, 8), np.uint8), 10) is None
+        return
+    rng = np.random.default_rng(0)
+    stacks = [
+        rng.integers(0, 256, (7, 33, 41), dtype=np.uint8),  # worst-case noise
+        np.linspace(0, 255, 5 * 64 * 64).reshape(5, 64, 64).astype(np.uint8),
+        (rng.random((12, 145, 145)) > 0.8).astype(np.uint8) * 255,  # sparse
+        np.zeros((3, 17, 19), np.uint8),  # constant (max LZW run length)
+    ]
+    for frames in stacks:
+        gif = native.gif_encode_gray(frames, fps=20)
+        assert gif is not None and gif[:6] == b'GIF89a'
+        im = Image.open(io.BytesIO(gif))
+        assert im.n_frames == frames.shape[0]
+        for i in range(im.n_frames):
+            im.seek(i)
+            np.testing.assert_array_equal(
+                np.asarray(im.convert('L')), frames[i]
+            )
+
+
+def test_gridvid_uses_native_gif(tmp_path):
+    """write_gridvid on a grayscale (T, 25, H, W, 1) stack must produce a
+    valid animated GIF next to the logs through the native encoder path."""
+    pytest.importorskip('PIL')
+    import io
+
+    from PIL import Image
+
+    from generative_models_tpu.utils.logger import write_gridvid
+
+    x = np.random.default_rng(1).random((6, 25, 28, 28, 1)).astype(np.float32)
+    write_gridvid(None, 'proc', x, epoch=0, logdir=tmp_path)
+    gif_path = tmp_path / 'proc_0.gif'
+    assert gif_path.exists()
+    im = Image.open(io.BytesIO(gif_path.read_bytes()))
+    assert im.n_frames == 6
+    im.seek(3)
+    assert np.asarray(im.convert('L')).shape == (140, 140)
