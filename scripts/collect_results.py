@@ -1,0 +1,77 @@
+"""Collect the zoo-results run (scripts/zoo_results.sh) into RESULTS.json.
+
+For each model logdir under LOGROOT, pulls the final logged values of the
+headline quality metrics — test-set bits/dim (autoregressive models),
+FID (autoencoder-latent + pixel-space), precision / recall / F1, conditional
+CE — plus total train wall-clock, from the TensorBoard event files the real
+CLI run wrote. These are the tables the reference README lists as TODOs
+(reference README.md:145-148).
+
+Usage: python scripts/collect_results.py [LOGROOT] [OUT.json]
+"""
+
+import json
+import sys
+from pathlib import Path
+
+from tensorboard.backend.event_processing.event_accumulator import (
+    EventAccumulator,
+)
+
+MODELS = [
+    'made', 'rnn', 'wavenet', 'pixel_cnn', 'gated_pixel_cnn',
+    'pixel_transformer', 'vae', 'vqvae', 'gan', 'diffusion_model',
+]
+LAST_KEYS = [
+    'eval/bits_per_dim', 'eval/fid', 'eval/ignite_fid', 'eval/precision',
+    'eval/recall', 'eval/f1', 'eval/cond_fid', 'eval/classifier_loss',
+    'num_vars',
+]
+
+
+def model_results(logdir, model):
+    acc = EventAccumulator(str(logdir), size_guidance={'scalars': 0})
+    acc.Reload()
+    tags = acc.Tags().get('scalars', [])
+    out = {}
+    for key in LAST_KEYS + [f'{model}/test/loss']:
+        if key in tags:
+            events = acc.Scalars(key)
+            if events:
+                out[key.split('/', 1)[-1] if key.startswith('eval/')
+                    else key] = events[-1].value
+    if 'dt/train' in tags:
+        out['train_total_sec'] = sum(e.value for e in acc.Scalars('dt/train'))
+        out['epochs_trained'] = len(acc.Scalars('dt/train'))
+    # first heavy eval (epoch 0, untrained) vs last, to show learning
+    if 'eval/fid' in tags and len(acc.Scalars('eval/fid')) > 1:
+        out['fid_untrained'] = acc.Scalars('eval/fid')[0].value
+    return out
+
+
+def main():
+    root = Path(sys.argv[1] if len(sys.argv) > 1 else 'logs/zoo_results')
+    out_path = Path(sys.argv[2] if len(sys.argv) > 2 else 'RESULTS.json')
+    result = {
+        'description': (
+            'Measured quality metrics for the full zoo: 20-epoch CLI runs on '
+            'one TPU v5e chip with --eval_heavy=1 (>=500 samples, shipped '
+            'arbiters). bits/dim = test-set mean Bernoulli NLL / ln 2 for '
+            'the autoregressive models. The reference lists these tables as '
+            'TODOs (reference README.md:145-148).'
+        ),
+        'logroot': str(root),
+        'models': {},
+    }
+    for model in MODELS:
+        d = root / model
+        if not (d / 'hps.yaml').exists():
+            continue
+        result['models'][model] = model_results(d, model)
+        print(model, json.dumps(result['models'][model]))
+    out_path.write_text(json.dumps(result, indent=1))
+    print('wrote', out_path)
+
+
+if __name__ == '__main__':
+    main()

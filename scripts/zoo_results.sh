@@ -1,0 +1,18 @@
+#!/bin/bash
+# Train every sampling model in the zoo for a real (20-epoch) run on chip
+# with heavy eval at the end, producing the measured numbers the reference
+# README lists as TODOs (reference README.md:145-148): test-set bits/dim for
+# the autoregressive models, FID / precision / recall for every model, and
+# wall-clock train time. scripts/collect_results.py turns the logdirs into
+# RESULTS.json.
+set -e
+LOGROOT=${LOGROOT:-logs/zoo_results}
+EPOCHS=${EPOCHS:-20}
+
+for model in made rnn wavenet pixel_cnn gated_pixel_cnn pixel_transformer \
+             vae vqvae gan diffusion_model; do
+  echo "=== $model ==="
+  python -m generative_models_tpu.main --model=$model \
+    --epochs=$EPOCHS --save_n=$EPOCHS --eval_heavy=1 \
+    --logdir=$LOGROOT/$model
+done
