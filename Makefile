@@ -15,8 +15,18 @@ bench:
 arbiters:  # train + install eval arbiters at the default --autoencoder/--classifier paths
 	bash scripts/train_arbiters.sh
 
+distill:  # progressive-distillation chain (256-step teacher -> 1-step student)
+	bash scripts/progressive_distillation.sh
+	bash scripts/eval_distill_chain.sh
+	python scripts/collect_distill.py
+	python scripts/distill_latency.py
+
+results:  # measured zoo quality tables (bits/dim, FID, P/R) -> RESULTS.json
+	bash scripts/zoo_results.sh
+	python scripts/collect_results.py
+
 lint:
 	python -m compileall -q generative_models_tpu tests scripts bench.py __graft_entry__.py
 	python scripts/lint.py
 
-.PHONY: test test-fast test-parity-tpu bench lint arbiters
+.PHONY: test test-fast test-parity-tpu bench lint arbiters distill results

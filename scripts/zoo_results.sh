@@ -8,9 +8,10 @@
 set -e
 LOGROOT=${LOGROOT:-logs/zoo_results}
 EPOCHS=${EPOCHS:-20}
+MODELS=${MODELS:-"made rnn wavenet pixel_cnn gated_pixel_cnn \
+pixel_transformer vae vqvae gan diffusion_model"}
 
-for model in made rnn wavenet pixel_cnn gated_pixel_cnn pixel_transformer \
-             vae vqvae gan diffusion_model; do
+for model in $MODELS; do
   echo "=== $model ==="
   python -m generative_models_tpu.main --model=$model \
     --epochs=$EPOCHS --save_n=$EPOCHS --eval_heavy=1 \
