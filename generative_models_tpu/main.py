@@ -98,7 +98,19 @@ def eval_heavy(logger, model, dataset, autoencoder, classifier, G):
             logits = classifier.apply(cond_samp)
             cls_losses.append(M.cross_entropy(logits, test_y))
             all_z_cond.append(autoencoder.apply(cond_samp))
-        samp = model.sample(bs, y=-np.ones(bs, np.int32))
+        # unconditional draw: only CF-guided models take a label argument
+        # (y=-1 is their unconditional branch, reference gms/main.py:125);
+        # every other model's sample() is sample(n). Autoregs return
+        # (samples, process-video frames) — keep the samples. The reference's
+        # eval_heavy crashes on both cases (gms/main.py:126 assumes the
+        # diffusion signature), so it only ever ran for diffusion; here it
+        # works for the whole zoo.
+        if G.class_cond:
+            samp = model.sample(bs, y=-np.ones(bs, np.int32))
+        else:
+            samp = model.sample(bs)
+        if isinstance(samp, tuple):
+            samp = samp[0]
         all_z_real.append(autoencoder.apply(test_x))
         all_z_sample.append(autoencoder.apply(samp))
         sample_ct += bs
