@@ -49,3 +49,29 @@ def test_eval_heavy_pipeline(tmp_path, monkeypatch, trained_arbiters):
         assert np.isfinite(val) or key == 'eval/f1', (key, val)
     # arbiter features are 64-d (G.z_size default), FID must be >= 0
     assert logger['eval/fid'][0] >= -1e-3
+
+
+def test_eval_heavy_autoreg(tmp_path, monkeypatch, trained_arbiters):
+    """eval_heavy for a non-class_cond autoreg: sample() takes no y and
+    returns (samples, frames). The reference's eval_heavy crashes on both
+    (gms/main.py:126 assumes the diffusion signature); ours must not."""
+    ae_path, cls_path = trained_arbiters
+    monkeypatch.setattr(mnist_mod, 'TRAIN_N', 64)
+    monkeypatch.setattr(mnist_mod, 'TEST_N', 64)
+    import generative_models_tpu.main as main_mod
+
+    monkeypatch.setattr(main_mod, 'TOTAL_HEAVY_SAMPLES', 32)
+    model, dataset, autoencoder, classifier, G = load_model_and_data(
+        [
+            '--model=made', f'--logdir={tmp_path}/made',
+            '--bs=16', '--hidden_size=32', '--data_source=synthetic',
+            '--eval_heavy=1', f'--autoencoder={ae_path}',
+        ]
+    )
+    assert classifier is None  # made is not class-conditional
+    logger = make_logger()
+    eval_heavy(logger, model, dataset, autoencoder, None, G)
+    for key in ['eval/fid', 'eval/ignite_fid', 'eval/precision', 'eval/recall']:
+        assert key in logger, f'missing {key}'
+        assert np.isfinite(logger[key][0]), (key, logger[key][0])
+    assert 'eval/cond_fid' not in logger
