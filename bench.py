@@ -10,12 +10,32 @@ steps/s / chip peak), and sampling latency for every model in the zoo.
 """
 
 import json
+import os
+import sys
+import threading
 import time
 from pathlib import Path
+
+# The remote TPU tunnel can die in a way that futex-hangs even
+# jax.devices(); a watchdog turns an infinite hang into a clean failure so
+# whatever invoked bench.py (CI, the round driver) gets an exit instead of
+# a stuck process. Disarmed as soon as the backend answers.
+_watchdog = threading.Timer(
+    300.0,
+    lambda: (
+        print('bench: backend init timed out (TPU tunnel down?)', file=sys.stderr),
+        os._exit(3),
+    ),
+)
+_watchdog.daemon = True
+_watchdog.start()
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.devices()  # force backend init under the watchdog
+_watchdog.cancel()
 
 _ROOT = Path(__file__).parent
 
