@@ -4,9 +4,10 @@ test:
 test-fast:
 	python -m pytest tests/ -x -q -k "not smoke and not parity_curves and not curve_parity"
 
-test-parity-tpu:  # the 12-model parity suite on the real chip (~15 min; on
-	# the 1-core XLA-CPU fallback some conv-model jit compiles alone take
-	# 20+ min, so prefer this when a chip is attached)
+# the 12-model parity suite on the real chip (~15 min; on the 1-core XLA-CPU
+# fallback some conv-model jit compiles alone take 20+ min, so prefer this
+# when a chip is attached)
+test-parity-tpu:
 	GMT_TESTS_ON_TPU=1 python -m pytest tests/test_parity_curves.py -v
 
 bench:

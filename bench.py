@@ -97,10 +97,11 @@ _DATASETS = {}
 
 
 def _bench_dataset(G):
-    """Shared Dataset per binarize flag — the SAME shuffled-permutation data
-    path training uses (data/mnist.py), so throughput is measured on
-    realistic distinct batches, not one broadcast batch."""
-    key = int(G.binarize)
+    """Shared Dataset per data-affecting flag set — the SAME
+    shuffled-permutation data path training uses (data/mnist.py), so
+    throughput is measured on realistic distinct batches, not one broadcast
+    batch."""
+    key = (int(G.binarize), int(G.get('pad32', 0)), int(G.bs))
     if key not in _DATASETS:
         _DATASETS[key] = __import__(
             'generative_models_tpu.data', fromlist=['load_mnist']

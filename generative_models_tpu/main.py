@@ -94,23 +94,20 @@ def eval_heavy(logger, model, dataset, autoencoder, classifier, G):
         if test_x.shape[0] < bs or offset > n_test:
             break
         if G.class_cond:
-            cond_samp = model.sample(bs, y=test_y)
+            cond_samp = model.sample_images(bs, y=test_y)
             logits = classifier.apply(cond_samp)
             cls_losses.append(M.cross_entropy(logits, test_y))
             all_z_cond.append(autoencoder.apply(cond_samp))
         # unconditional draw: only CF-guided models take a label argument
-        # (y=-1 is their unconditional branch, reference gms/main.py:125);
-        # every other model's sample() is sample(n). Autoregs return
-        # (samples, process-video frames) — keep the samples. The reference's
-        # eval_heavy crashes on both cases (gms/main.py:126 assumes the
-        # diffusion signature), so it only ever ran for diffusion; here it
-        # works for the whole zoo.
+        # (y=-1 is their unconditional branch, reference gms/main.py:125).
+        # sample_images is the zoo-wide samples-only contract (no
+        # sampling-video frames); the reference's eval_heavy assumes the
+        # diffusion signature and crashes for every other model
+        # (gms/main.py:125-126), so it only ever ran for diffusion.
         if G.class_cond:
-            samp = model.sample(bs, y=-np.ones(bs, np.int32))
+            samp = model.sample_images(bs, y=-np.ones(bs, np.int32))
         else:
-            samp = model.sample(bs)
-        if isinstance(samp, tuple):
-            samp = samp[0]
+            samp = model.sample_images(bs)
         all_z_real.append(autoencoder.apply(test_x))
         all_z_sample.append(autoencoder.apply(samp))
         sample_ct += bs

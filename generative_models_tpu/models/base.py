@@ -161,6 +161,16 @@ class GM:
             metrics,
         )
 
+    def sample_images(self, n, y=None):
+        """Uniform samples-only entry point for bulk eval (eval_heavy):
+        always returns just the (n, H, W, 1) samples, never per-step video
+        frames, regardless of the model's native sample() signature. The
+        reference has no such contract — its eval_heavy assumes the
+        diffusion signature and crashes for every other model
+        (gms/main.py:125-126)."""
+        samp = self.sample(n) if y is None else self.sample(n, y=y)
+        return samp[0] if isinstance(samp, tuple) else samp
+
     EVAL_RNG_TAG = 0x7FFFFFFF  # fold_in tag reserved for eval passes
 
     def loss_metrics_fn(self, state, x, y):
@@ -284,6 +294,15 @@ class Autoreg(GM):
         samples, gen = self.sample(25)
         write_grid(writer, 'samples', samples, epoch)
         write_gridvid(writer, 'sampling_process', gen, epoch, logdir=self.G.logdir)
+
+    def sample_images(self, n, y=None):
+        if y is not None:
+            # none of the autoregs is class-conditional; erroring beats
+            # silently mislabelling conditional eval metrics
+            raise TypeError(f'{type(self).__name__}.sample takes no labels')
+        # with_frames=False skips the (T, n, H, W, 1) sampling-video stack
+        # (~150 MB HBM at T=784, n=64) that bulk eval would discard unseen
+        return self._jit_sample(self.state, n, self.next_rng(), False)
 
 
 class Arbiter(GM):

@@ -75,7 +75,7 @@ class MADE(Autoreg):
             create_made_masks(self.nin, self.hidden_sizes, seed=G.get('seed', 0) + 42)
         )
         super().__init__(G)
-        self._jit_sample = jax.jit(self.sample_fn, static_argnums=1)
+        self._jit_sample = jax.jit(self.sample_fn, static_argnums=(1, 3))
 
     def build(self):
         from generative_models_tpu.ops import on_tpu
@@ -107,7 +107,7 @@ class MADE(Autoreg):
         loss = -dists.Bernoulli(logits=logits).log_prob(x).mean()
         return loss, {'nlogp': loss}
 
-    def sample_fn(self, state, n, rng):
+    def sample_fn(self, state, n, rng, with_frames=True):
         """Raster-order sampling as one on-device scan (reference does 784
         host-driven full forwards, gms/autoregs/made.py:66-81)."""
         side = int(np.sqrt(self.nin))
@@ -118,13 +118,15 @@ class MADE(Autoreg):
             logit_i = jnp.take(logits, i, axis=1)
             pix = dists.Bernoulli(logits=logit_i).sample(key)
             samples = samples.at[:, i].set(pix)
-            return samples, samples.reshape(n, side, side, 1)
+            frame = samples.reshape(n, side, side, 1) if with_frames else None
+            return samples, frame
 
         keys = jax.random.split(rng, self.nin)
         samples, frames = jax.lax.scan(
             body, jnp.zeros((n, self.nin), jnp.float32), (jnp.arange(self.nin), keys)
         )
-        return samples.reshape(n, side, side, 1), frames
+        samples = samples.reshape(n, side, side, 1)
+        return (samples, frames) if with_frames else samples
 
     def sample(self, n):
         return self._jit_sample(self.state, n, self.next_rng())

@@ -228,7 +228,7 @@ class PixelCNN(Autoreg):
         self.side = 32 if G.get('pad32', 0) else 28
         self.canvas_size = self.side * self.side
         super().__init__(G)
-        self._jit_sample = jax.jit(self.sample_fn, static_argnums=1)
+        self._jit_sample = jax.jit(self.sample_fn, static_argnums=(1, 3))
 
     def build(self):
         return PixelCNNNet(
@@ -256,7 +256,7 @@ class PixelCNN(Autoreg):
     def _set_c0(canvases, c0):
         return (c0, canvases[1])
 
-    def sample_fn(self, state, n, rng):
+    def sample_fn(self, state, n, rng, with_frames=True):
         """Incremental-decode sampling scan, shared with GatedPixelCNN via
         the _decode_step/_init_canvases/_get_c0/_set_c0 hooks."""
         side = self.side
@@ -274,7 +274,7 @@ class PixelCNN(Autoreg):
                 self._get_c0(canvases), pix[:, None, None, None],
                 (0, r + p, c + p, 0),
             )
-            frame = c0[:, p:p + side, p:p + side, :]
+            frame = c0[:, p:p + side, p:p + side, :] if with_frames else None
             return self._set_c0(canvases, c0), frame
 
         keys = jax.random.split(rng, self.canvas_size)
@@ -285,7 +285,7 @@ class PixelCNN(Autoreg):
             body, canvases0, (jnp.arange(self.canvas_size), keys)
         )
         samples = self._get_c0(canvases)[:, p:p + side, p:p + side, :]
-        return samples, frames
+        return (samples, frames) if with_frames else samples
 
     def sample(self, n):
         return self._jit_sample(self.state, n, self.next_rng())

@@ -214,7 +214,7 @@ class PixelTransformer(Autoreg):
         self.side = 32 if G.get('pad32', 0) else 28
         self.block_size = self.side * self.side
         super().__init__(G)
-        self._jit_sample = jax.jit(self.sample_fn, static_argnums=1)
+        self._jit_sample = jax.jit(self.sample_fn, static_argnums=(1, 3))
 
     def build(self):
         from generative_models_tpu.ops import on_tpu
@@ -251,10 +251,12 @@ class PixelTransformer(Autoreg):
         loss = -dist.log_prob(x).mean()
         return loss, {'nlogp': loss}
 
-    def sample_fn(self, state, n, rng):
+    def sample_fn(self, state, n, rng, with_frames=True):
         sample_token = lambda logits, key: dists.Bernoulli(logits=logits).sample(key)
         tokens = transformer_sample_scan(self.net, state.params, n, rng, sample_token)
         samples = tokens.transpose(1, 0, 2).reshape(n, self.side, self.side, 1)
+        if not with_frames:
+            return samples
         T = self.block_size
         tri = jnp.tril(jnp.ones((T, T), tokens.dtype))
         frames = (tri[:, :, None] * tokens[None, :, :, 0]).transpose(0, 2, 1)

@@ -81,7 +81,7 @@ class RNN(Autoreg):
         self.canvas_size = self.side * self.side
         self.in_channels = 3 if G.append_loc else 1
         super().__init__(G)
-        self._jit_sample = jax.jit(self.sample_fn, static_argnums=1)
+        self._jit_sample = jax.jit(self.sample_fn, static_argnums=(1, 3))
 
     def build(self):
         return LSTMPixelNet(hidden=self.G.hidden_size, in_channels=self.in_channels)
@@ -103,7 +103,7 @@ class RNN(Autoreg):
         ).log_prob(inp).mean()
         return loss, {'nlogp': loss}
 
-    def sample_fn(self, state, n, rng):
+    def sample_fn(self, state, n, rng, with_frames=True):
         side = self.side
         H = self.G.hidden_size
 
@@ -134,6 +134,8 @@ class RNN(Autoreg):
             body, carry0, (jnp.arange(self.canvas_size), keys)
         )  # (T, n)
         samples = pixels.T.reshape(n, side, side, 1)
+        if not with_frames:
+            return samples
         # frame t shows pixels 0..t placed on the canvas (raster-fill video)
         T = self.canvas_size
         tri = jnp.tril(jnp.ones((T, T), pixels.dtype))

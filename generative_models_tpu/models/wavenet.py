@@ -167,7 +167,7 @@ class Wavenet(Autoreg):
         self.side = 32 if G.get('pad32', 0) else 28
         self.canvas_size = self.side * self.side
         super().__init__(G)
-        self._jit_sample = jax.jit(self.sample_fn, static_argnums=1)
+        self._jit_sample = jax.jit(self.sample_fn, static_argnums=(1, 3))
 
     def build(self):
         from generative_models_tpu.ops import on_tpu
@@ -192,7 +192,7 @@ class Wavenet(Autoreg):
         loss = -dists.Bernoulli(logits=logits).log_prob(x).mean()
         return loss, {'nlogp': loss}
 
-    def sample_fn(self, state, n, rng):
+    def sample_fn(self, state, n, rng, with_frames=True):
         side = self.side
         locs = location_grid(side).reshape(self.canvas_size, 2)
 
@@ -217,6 +217,8 @@ class Wavenet(Autoreg):
             body, (buffers0, jnp.zeros((n, 3))), (jnp.arange(self.canvas_size), keys)
         )  # pixels: (T, n)
         samples = pixels.T.reshape(n, side, side, 1)
+        if not with_frames:
+            return samples
         T = self.canvas_size
         tri = jnp.tril(jnp.ones((T, T), pixels.dtype))
         frames = (tri[:, :, None] * pixels[None]).transpose(0, 2, 1)

@@ -12,7 +12,30 @@ import numpy as np
 
 _DIR = Path(__file__).parent
 _SO = _DIR / 'libgmt_native.so'
+_SRC = _DIR / 'gmt_native.cpp'
 _LIB = None
+
+
+def _stale():
+    if not _SO.exists():
+        return True
+    return _SRC.exists() and _SRC.stat().st_mtime > _SO.stat().st_mtime
+
+
+def _build():
+    # Serialize concurrent builders (e.g. parallel pytest / CLI starts right
+    # after a source change) with an exclusive lock: g++ writes the .so in
+    # place, and a second process must neither race the compiler nor CDLL a
+    # half-written file. Losers of the race block here, then see a fresh .so.
+    import fcntl
+
+    with open(_DIR / '.build.lock', 'w') as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if _stale():
+            subprocess.run(
+                ['make', '-C', str(_DIR), '-s'], check=True,
+                capture_output=True,
+            )
 
 
 def _load():
@@ -20,11 +43,8 @@ def _load():
     if _LIB is not None:
         return _LIB
     try:
-        # mtime-based no-op when the .so is current; rebuilds stale binaries
-        # (e.g. a checked-out .so older than the source)
-        subprocess.run(
-            ['make', '-C', str(_DIR), '-s'], check=True, capture_output=True
-        )
+        if _stale():  # fast path: current .so -> no subprocess at all
+            _build()
     except Exception:
         if not _SO.exists():
             return None

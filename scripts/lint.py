@@ -106,7 +106,9 @@ def check_file(path):
         indent = line[: len(line) - len(body)]
         if '\t' in indent:
             problems.append(f'{path}:{i}: tab in indentation')
-        if len(stripped) > MAX_LINE and i not in noqa and 'http' not in line:
+        # long lines are exempt only when the overflow is an unbreakable URL
+        has_url = 'http://' in line or 'https://' in line
+        if len(stripped) > MAX_LINE and i not in noqa and not has_url:
             problems.append(
                 f'{path}:{i}: line too long ({len(stripped)} > {MAX_LINE})'
             )

@@ -69,6 +69,20 @@ def test_sample_shapes():
     assert set(vals.tolist()) <= {0.0, 1.0}
 
 
+def test_sample_images_matches_frames_path():
+    """sample_images (eval_heavy's bulk path) must draw the exact same
+    samples as the video-producing sample(), just without stacking the
+    (T, n, H, W, 1) frames."""
+    G = small_G()
+    model = MADE(G)
+    rng = jax.random.key(7)
+    full, frames = model.sample_fn(model.state, 4, rng, True)
+    only = model.sample_fn(model.state, 4, rng, False)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(only))
+    np.testing.assert_array_equal(np.asarray(frames[-1]), np.asarray(full))
+    assert model.sample_images(4).shape == (4, 28, 28, 1)
+
+
 def test_save_load_roundtrip(tmp_path):
     G = small_G()
     model = MADE(G)

@@ -103,3 +103,21 @@ def test_gridvid_uses_native_gif(tmp_path):
     assert im.n_frames == 6
     im.seek(3)
     assert np.asarray(im.convert('L')).shape == (140, 140)
+
+
+def test_load_current_so_skips_build_subprocess():
+    """With a current .so, _load must CDLL directly — no `make` fork per
+    process start (and no chance for concurrent builders to race)."""
+    if native._load() is None:  # first call builds if toolchain exists
+        pytest.skip('no native toolchain')
+    native._LIB = None  # force a fresh load path
+
+    def boom(*a, **k):
+        raise AssertionError('unexpected rebuild of a current .so')
+
+    orig = native.subprocess.run
+    native.subprocess.run = boom
+    try:
+        assert native._load() is not None
+    finally:
+        native.subprocess.run = orig
