@@ -51,6 +51,9 @@ def dump_logger(logger, writer, i, G):
             writer.add_scalar(key, mean_val, i)
         print(key, mean_val)
     G.full_cmd = 'python ' + ' '.join(sys.argv)
+    # provenance: which backend produced this run's artifacts (hps.yaml is
+    # the run's record of record; measured-results collectors read this)
+    G.jax_backend = jax.default_backend()
     try:
         G.commit_hash = (
             subprocess.check_output(

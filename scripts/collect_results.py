@@ -54,11 +54,13 @@ def main():
     out_path = Path(sys.argv[2] if len(sys.argv) > 2 else 'RESULTS.json')
     result = {
         'description': (
-            'Measured quality metrics for the full zoo: 20-epoch CLI runs on '
-            'one TPU v5e chip with --eval_heavy=1 (>=500 samples, shipped '
-            'arbiters). bits/dim = test-set mean Bernoulli NLL / ln 2 for '
-            'the autoregressive models. The reference lists these tables as '
-            'TODOs (reference README.md:145-148).'
+            'Measured quality metrics for the full zoo: 10-epoch CLI runs '
+            'with --eval_heavy=1 (>=500 samples, shipped arbiters); each '
+            "entry's 'device' records the backend that produced it (quality "
+            'metrics are hardware-independent training math; train_total_sec '
+            'is comparable only within a device). bits/dim = test-set mean '
+            'Bernoulli NLL / ln 2 for the autoregressive models. The '
+            'reference lists these tables as TODOs (README.md:145-148).'
         ),
         'logroot': str(root),
         'models': {},
@@ -68,6 +70,13 @@ def main():
         if not (d / 'hps.yaml').exists():
             continue
         result['models'][model] = model_results(d, model)
+        # stamp each entry with the backend that produced the run (recorded
+        # into hps.yaml by dump_logger); quality metrics are
+        # hardware-independent but wall-clock is not
+        import yaml
+
+        hps = yaml.safe_load((d / 'hps.yaml').read_text())
+        result['models'][model]['device'] = hps.get('jax_backend', 'tpu')
         print(model, json.dumps(result['models'][model]))
     out_path.write_text(json.dumps(result, indent=1))
     print('wrote', out_path)
