@@ -25,9 +25,13 @@ distill:  # progressive-distillation chain (256-step teacher -> 1-step student)
 results:  # measured zoo quality tables (bits/dim, FID, P/R) -> RESULTS.json
 	bash scripts/zoo_results.sh
 	python scripts/collect_results.py
+	python scripts/render_results.py
+
+results-md:  # re-render docs/RESULTS.md from the checked-in artifacts
+	python scripts/render_results.py
 
 lint:
 	python -m compileall -q generative_models_tpu tests scripts bench.py __graft_entry__.py
 	python scripts/lint.py
 
-.PHONY: test test-fast test-parity-tpu bench lint arbiters distill results
+.PHONY: test test-fast test-parity-tpu bench lint arbiters distill results results-md

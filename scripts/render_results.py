@@ -1,0 +1,157 @@
+"""Render the measured-results artifacts into docs/RESULTS.md.
+
+The reference README lists its results tables as TODOs
+(/root/reference/README.md:145-148: FID table, head-to-head training times,
+bits/dim). This framework measures all of them; this script turns the
+checked-in JSON artifacts (RESULTS.json quality metrics, BENCH_EXTRA.json
+throughput/MFU/latency, DISTILL.json distillation chain, EVAL.json
+convergence run) into one human-readable markdown document.
+
+Usage: python scripts/render_results.py  (writes docs/RESULTS.md)
+"""
+
+import json
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+MODELS = [
+    'made', 'rnn', 'wavenet', 'pixel_cnn', 'gated_pixel_cnn',
+    'pixel_transformer', 'vae', 'vqvae', 'gan', 'diffusion_model',
+    'autoencoder', 'classifier',
+]
+
+
+def load(name):
+    p = ROOT / name
+    return json.loads(p.read_text()) if p.exists() else None
+
+
+def fmt(v, nd=3):
+    if v is None:
+        return '—'
+    if isinstance(v, float):
+        return f'{v:.{nd}f}'
+    return str(v)
+
+
+def quality_table(results):
+    rows = [
+        '| model | device | bits/dim | FID | pixel FID | precision | recall'
+        ' | F1 | train (s) | epochs |',
+        '|---|---|---|---|---|---|---|---|---|---|',
+    ]
+    models = results.get('models', {})
+    for m in MODELS:
+        r = models.get(m)
+        if not r:
+            continue
+        rows.append(
+            f"| `{m}` | {r.get('device', 'tpu')} |"
+            f" {fmt(r.get('bits_per_dim'))} | {fmt(r.get('fid'), 4)} |"
+            f" {fmt(r.get('ignite_fid'), 4)} | {fmt(r.get('precision'))} |"
+            f" {fmt(r.get('recall'))} | {fmt(r.get('f1'))} |"
+            f" {fmt(r.get('train_total_sec'), 1)} |"
+            f" {r.get('epochs_trained', '—')} |"
+        )
+    return '\n'.join(rows)
+
+
+def bench_table(bench):
+    rows = [
+        '| model | train steps/s | × torch-CPU ref | MFU | sample25 (s) |',
+        '|---|---|---|---|---|',
+    ]
+    for m in MODELS:
+        sps = bench.get(f'{m}_train_steps_per_sec')
+        if sps is None:
+            continue
+        rows.append(
+            f'| `{m}` | {fmt(sps, 1)} |'
+            f" {fmt(bench.get(f'{m}_vs_cpu_reference'), 0)}× |"
+            f" {fmt(bench.get(f'{m}_mfu'))} |"
+            f" {fmt(bench.get(f'{m}_sample25_sec'))} |"
+        )
+    return '\n'.join(rows)
+
+
+def distill_table(distill):
+    lat = distill.get('sample_latency', {})
+    rows = [
+        '| stage | timesteps | FID | precision | recall | guided 64-grid (s)'
+        ' | imgs/s |',
+        '|---|---|---|---|---|---|---|',
+    ]
+    for name, s in distill.get('stages', {}).items():
+        l = lat.get(name, {})
+        rows.append(
+            f"| {name} | {s.get('timesteps', '—')} |"
+            f" {fmt(s.get('eval/fid'), 4)} | {fmt(s.get('eval/precision'))} |"
+            f" {fmt(s.get('eval/recall'))} |"
+            f" {fmt(l.get('sample64_sec'), 4)} |"
+            f" {fmt(l.get('imgs_per_sec'), 0)} |"
+        )
+    return '\n'.join(rows)
+
+
+def main():
+    results, bench = load('RESULTS.json'), load('BENCH_EXTRA.json')
+    distill, evalj = load('DISTILL.json'), load('EVAL.json')
+    parts = [
+        '# Measured results',
+        '',
+        'Every table below is generated from checked-in measurement'
+        ' artifacts by `scripts/render_results.py` (`make results-md`).'
+        ' These are the tables the reference README lists as TODOs'
+        ' (reference README.md:145-148).',
+    ]
+    if results:
+        parts += [
+            '', '## Sample quality (trained models, heavy eval)', '',
+            results.get('description', ''), '', quality_table(results),
+        ]
+    if bench:
+        dev = bench.get('device', 'TPU')
+        parts += [
+            '', f'## Throughput and latency ({dev}, bs=64)', '',
+            'steps/s = whole-epoch scan inside one jit on shuffled batches;'
+            ' MFU vs the chip bf16 peak; ×ref vs measured torch-CPU'
+            ' reference throughput (reference_cpu_baseline.json).',
+            '', bench_table(bench),
+        ]
+        dd = bench.get('ddpm_sample64_sec')
+        if dd is not None:
+            parts += [
+                '',
+                f'Headline: **DDPM guided 64-image grid in {dd:.2f} s**'
+                f' (250-step DDIM, CFG), north-star target < 1 s.',
+            ]
+    if distill:
+        parts += [
+            '', '## Progressive distillation (256-step teacher → 1 step)',
+            '',
+            'Full chain run on chip via `make distill`'
+            ' (scripts/progressive_distillation.sh): step1 matches the'
+            ' teacher sampler, then each step2 stage halves the sampling'
+            ' steps.',
+            '', distill_table(distill),
+        ]
+    if evalj:
+        eps = evalj.get('epochs', {})
+        if eps:
+            last = sorted(eps)[-1]
+            e = eps[last]
+            parts += [
+                '', '## Convergence reference (diffusion, chip)', '',
+                f"{evalj.get('description', '')}", '',
+                f"Final epoch `{last}`: FID {fmt(e.get('fid'), 4)},"
+                f" precision {fmt(e.get('precision'))},"
+                f" recall {fmt(e.get('recall'))}, f1 {fmt(e.get('f1'))}.",
+            ]
+    out = ROOT / 'docs' / 'RESULTS.md'
+    out.write_text('\n'.join(parts) + '\n')
+    print('wrote', out)
+
+
+if __name__ == '__main__':
+    main()

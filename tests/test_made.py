@@ -99,3 +99,32 @@ def test_save_load_roundtrip(tmp_path):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert int(model2.state.step) == 1  # full train state restored
+
+
+def test_all_autoregs_sample_images_matches_frames_path():
+    """Every Autoreg's no-frames sampling path (the eval_heavy bulk
+    contract) must draw identical samples to its video-producing path under
+    the same rng — the canvas/cache machinery differs per model."""
+    from generative_models_tpu.utils import discover_models
+    from generative_models_tpu.utils.config import parse_args
+
+    small = {
+        'rnn': ['--hidden_size=16'],
+        'wavenet': ['--hidden_size=8'],
+        'pixel_cnn': ['--n_filters=8', '--n_layers=1'],
+        'gated_pixel_cnn': ['--n_filters=8', '--n_layers=1'],
+        'pixel_transformer': ['--n_layer=1', '--n_head=2', '--n_embed=16'],
+    }
+    for name, flags in small.items():
+        G, Model = parse_args(
+            [f'--model={name}', '--bs=4', '--data_source=synthetic',
+             '--logdir=/tmp/t_sample_images'] + flags,
+            discover_models=discover_models,
+        )
+        model = Model(G=G)
+        rng = jax.random.key(11)
+        full, _frames = model.sample_fn(model.state, 2, rng, True)
+        only = model.sample_fn(model.state, 2, rng, False)
+        np.testing.assert_array_equal(
+            np.asarray(full), np.asarray(only), err_msg=name
+        )
