@@ -57,6 +57,22 @@ def load_model_and_data(argv=None):
     """Two-phase parse, model + data construction (reference: gms/main.py:43-92)."""
     maybe_initialize_distributed()
     G, Model = parse_args(argv, discover_models=discover_models)
+    if G.get('device'):
+        # reference --device parity (gms/main.py:24): pick the JAX platform
+        # ('cpu', 'tpu', or a priority list like 'tpu,cpu') before the first
+        # backend use; '' (default) keeps the environment's platform.
+        import os
+
+        os.environ['JAX_PLATFORMS'] = G.device
+        jax.config.update('jax_platforms', G.device)
+        # the update is a silent no-op once a backend is initialized (e.g.
+        # in-process callers / tests); verify the effective platform rather
+        # than silently training on the wrong one
+        if jax.default_backend() not in G.device.split(','):
+            raise ValueError(
+                f'--device={G.device} requested but this process is using '
+                f'the {jax.default_backend()} backend'
+            )
     set_mesh(make_mesh(G.get('mesh', '')))
     G.logdir = Path(G.logdir)
     model = Model(G=G)

@@ -46,7 +46,9 @@ def global_defaults():
     DG.model = 'vae'
     DG.bs = 64
     DG.hidden_size = 256
-    DG.device = 'tpu'  # jax platform; reference default was 'cuda'
+    # jax platform override ('cpu', 'tpu', or a 'tpu,cpu' priority list);
+    # '' = the environment's default platform. Reference default was 'cuda'.
+    DG.device = ''
     DG.epochs = 50
     DG.save_n = 5
     DG.logdir = Path('./logs/')

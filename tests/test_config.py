@@ -49,3 +49,21 @@ def test_hps_roundtrip(tmp_path):
     loaded = yaml.safe_load(open(tmp_path / 'hps.yaml'))
     assert loaded['model'] == 'made'
     assert loaded['hidden_size'] == 1024
+
+
+def test_device_flag_matching_backend_is_noop(tmp_path):
+    """--device parity with the reference (gms/main.py:24): selecting the
+    already-initialized backend must work; a different one must error
+    loudly rather than silently run on the wrong platform."""
+    import pytest
+
+    from generative_models_tpu.main import load_model_and_data
+
+    common = [
+        '--model=made', f'--logdir={tmp_path}', '--bs=8',
+        '--hidden_size=16', '--data_source=synthetic',
+    ]
+    # tests run with the cpu backend initialized -> 'cpu' is accepted
+    load_model_and_data(common + ['--device=cpu'])
+    with pytest.raises(ValueError, match='using the cpu backend'):
+        load_model_and_data(common + ['--device=tpu'])
