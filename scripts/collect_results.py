@@ -44,8 +44,18 @@ def model_results(logdir, model):
         out['train_total_sec'] = sum(e.value for e in acc.Scalars('dt/train'))
         out['epochs_trained'] = len(acc.Scalars('dt/train'))
     # first heavy eval (epoch 0, untrained) vs last, to show learning
-    if 'eval/fid' in tags and len(acc.Scalars('eval/fid')) > 1:
-        out['fid_untrained'] = acc.Scalars('eval/fid')[0].value
+    if 'eval/fid' in tags:
+        fids = acc.Scalars('eval/fid')
+        if len(fids) > 1:
+            out['fid_untrained'] = fids[0].value
+        else:
+            # run was killed before its first post-training heavy eval: the
+            # only FID on record is the UNTRAINED epoch-0 one — don't let it
+            # masquerade as a trained-model result
+            for k in ('fid', 'ignite_fid', 'precision', 'recall', 'f1'):
+                if k in out:
+                    out[f'{k}_untrained'] = out.pop(k)
+            out['partial'] = True
     return out
 
 
