@@ -1,0 +1,46 @@
+#!/bin/bash
+# One-shot catch-up for when the TPU tunnel comes back after an outage:
+# finish the zoo-results collection on chip (overwriting any CPU-fallback
+# entries with chip runs), rebuild RESULTS.json + docs/RESULTS.md, and
+# refresh the bench matrix. Idempotent: skips models whose logdir already
+# holds a finished chip run.
+#
+# Usage: bash scripts/chip_catchup.sh [--force-cpu-redo]
+#   --force-cpu-redo   also re-run (on chip) models whose existing results
+#                      were collected on the CPU fallback
+set -e
+cd "$(dirname "$0")/.."
+LOGROOT=${LOGROOT:-logs/zoo_results}
+EPOCHS=${EPOCHS:-10}
+MODELS="vae gan vqvae pixel_transformer rnn wavenet gated_pixel_cnn \
+made pixel_cnn diffusion_model"
+
+# stop the CPU fallback queue if it is still grinding
+if [ -f /tmp/zoo_queue.pid ] && kill -0 "$(cat /tmp/zoo_queue.pid)" 2>/dev/null; then
+  echo "stopping CPU zoo queue ($(cat /tmp/zoo_queue.pid))"
+  kill "$(cat /tmp/zoo_queue.pid)" || true
+  sleep 2
+fi
+
+for model in $MODELS; do
+  hps="$LOGROOT/$model/hps.yaml"
+  if [ -f "$hps" ]; then
+    backend=$(grep -E '^jax_backend:' "$hps" | awk '{print $2}')
+    # finished chip runs are kept; CPU runs are redone only with the flag
+    if [ "$backend" != "cpu" ] && [ -n "$backend" ]; then
+      echo "=== $model: chip run already collected, skipping"; continue
+    fi
+    if [ "$1" != "--force-cpu-redo" ] && [ -n "$backend" ]; then
+      echo "=== $model: CPU run present (pass --force-cpu-redo to redo)"; continue
+    fi
+    rm -rf "$LOGROOT/$model"
+  fi
+  echo "=== $model (chip) ==="
+  timeout 3600 python -u -m generative_models_tpu.main --model="$model" \
+    --epochs="$EPOCHS" --save_n="$EPOCHS" --eval_heavy=1 \
+    --logdir="$LOGROOT/$model"
+done
+
+python scripts/collect_results.py "$LOGROOT" RESULTS.json
+python scripts/render_results.py
+echo "chip catch-up done; RESULTS.json + docs/RESULTS.md refreshed"
