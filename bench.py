@@ -19,14 +19,28 @@ from pathlib import Path
 # The remote TPU tunnel can die in a way that futex-hangs even
 # jax.devices(); a watchdog turns an infinite hang into a clean failure so
 # whatever invoked bench.py (CI, the round driver) gets an exit instead of
-# a stuck process. Disarmed as soon as the backend answers.
-_watchdog = threading.Timer(
-    300.0,
-    lambda: (
-        print('bench: backend init timed out (TPU tunnel down?)', file=sys.stderr),
-        os._exit(3),
-    ),
-)
+# a stuck process. It still prints the one-line JSON contract (value 0 +
+# error field) so the caller records an honest, parseable failure rather
+# than nothing. Disarmed as soon as the backend answers.
+def _tunnel_dead():
+    print('bench: backend init timed out (TPU tunnel down?)', file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                'metric': 'diffusion_train_steps_per_sec',
+                'value': 0.0,
+                'unit': 'steps/s',
+                'vs_baseline': 0.0,
+                'error': 'TPU backend init timed out (tunnel down); '
+                'see BENCH_r02.json for the last chip measurement',
+            }
+        ),
+        flush=True,
+    )
+    os._exit(3)
+
+
+_watchdog = threading.Timer(300.0, _tunnel_dead)
 _watchdog.daemon = True
 _watchdog.start()
 
