@@ -117,9 +117,9 @@ def _bench_dataset(G):
     batch."""
     key = (int(G.binarize), int(G.get('pad32', 0)), int(G.bs))
     if key not in _DATASETS:
-        _DATASETS[key] = __import__(
-            'generative_models_tpu.data', fromlist=['load_mnist']
-        ).load_mnist(G)
+        from generative_models_tpu.data import load_mnist
+
+        _DATASETS[key] = load_mnist(G)
     return _DATASETS[key]
 
 

@@ -63,12 +63,21 @@ def load_model_and_data(argv=None):
         # backend use; '' (default) keeps the environment's platform.
         import os
 
+        prev_env = os.environ.get('JAX_PLATFORMS')
+        prev_cfg = jax.config.jax_platforms
         os.environ['JAX_PLATFORMS'] = G.device
         jax.config.update('jax_platforms', G.device)
         # the update is a silent no-op once a backend is initialized (e.g.
         # in-process callers / tests); verify the effective platform rather
         # than silently training on the wrong one
         if jax.default_backend() not in G.device.split(','):
+            # roll back so the rejected platform doesn't leak into this
+            # process's env (and from there into any subprocess it spawns)
+            if prev_env is None:
+                os.environ.pop('JAX_PLATFORMS', None)
+            else:
+                os.environ['JAX_PLATFORMS'] = prev_env
+            jax.config.update('jax_platforms', prev_cfg)
             raise ValueError(
                 f'--device={G.device} requested but this process is using '
                 f'the {jax.default_backend()} backend'

@@ -43,8 +43,11 @@ def _load():
     if _LIB is not None:
         return _LIB
     try:
-        if _stale():  # fast path: current .so -> no subprocess at all
-            _build()
+        # staleness is (re)checked under the lock inside _build: an unlocked
+        # fast path could see a fresh-looking mtime while another process's
+        # g++ is mid-write. The .so is also published by atomic rename
+        # (native/Makefile), so even lockless readers never dlopen a torso.
+        _build()
     except Exception:
         if not _SO.exists():
             return None

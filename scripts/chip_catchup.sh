@@ -36,9 +36,13 @@ for model in $MODELS; do
     rm -rf "$LOGROOT/$model"
   fi
   echo "=== $model (chip) ==="
+  # '|| echo' keeps set -e from aborting the whole catch-up when one model
+  # times out or crashes: the remaining models still get their runs and the
+  # collect/render refresh below still folds in everything that finished
   timeout 3600 python -u -m generative_models_tpu.main --model="$model" \
     --epochs="$EPOCHS" --save_n="$EPOCHS" --eval_heavy=1 \
-    --logdir="$LOGROOT/$model"
+    --logdir="$LOGROOT/$model" \
+    || echo "WARN: $model run failed (exit $?); continuing"
 done
 
 python scripts/collect_results.py "$LOGROOT" RESULTS.json

@@ -14,6 +14,7 @@ import json
 import sys
 from pathlib import Path
 
+import yaml
 from tensorboard.backend.event_processing.event_accumulator import (
     EventAccumulator,
 )
@@ -64,11 +65,12 @@ def main():
     out_path = Path(sys.argv[2] if len(sys.argv) > 2 else 'RESULTS.json')
     result = {
         'description': (
-            'Measured quality metrics for the full zoo: 10-epoch CLI runs '
-            'with --eval_heavy=1 (>=500 samples, shipped arbiters); each '
-            "entry's 'device' records the backend that produced it (quality "
-            'metrics are hardware-independent training math; train_total_sec '
-            'is comparable only within a device). bits/dim = test-set mean '
+            'Measured quality metrics for the full zoo: CLI runs with '
+            "--eval_heavy=1 (>=500 samples, shipped arbiters); each entry's "
+            "'epochs_trained' records its run length and 'device' the "
+            'backend that produced it (quality metrics are '
+            'hardware-independent training math; train_total_sec is '
+            'comparable only within a device). bits/dim = test-set mean '
             'Bernoulli NLL / ln 2 for the autoregressive models. The '
             'reference lists these tables as TODOs (README.md:145-148).'
         ),
@@ -82,11 +84,10 @@ def main():
         result['models'][model] = model_results(d, model)
         # stamp each entry with the backend that produced the run (recorded
         # into hps.yaml by dump_logger); quality metrics are
-        # hardware-independent but wall-clock is not
-        import yaml
-
+        # hardware-independent but wall-clock is not. Runs that predate the
+        # jax_backend stamp are 'unknown' — never fabricate chip provenance.
         hps = yaml.safe_load((d / 'hps.yaml').read_text())
-        result['models'][model]['device'] = hps.get('jax_backend', 'tpu')
+        result['models'][model]['device'] = hps.get('jax_backend', 'unknown')
         print(model, json.dumps(result['models'][model]))
     out_path.write_text(json.dumps(result, indent=1))
     print('wrote', out_path)

@@ -47,7 +47,7 @@ def quality_table(results):
         if not r:
             continue
         rows.append(
-            f"| `{m}` | {r.get('device', 'tpu')} |"
+            f"| `{m}` | {r.get('device', 'unknown')} |"
             f" {fmt(r.get('bits_per_dim'))} | {fmt(r.get('fid'), 4)} |"
             f" {fmt(r.get('ignite_fid'), 4)} | {fmt(r.get('precision'))} |"
             f" {fmt(r.get('recall'))} | {fmt(r.get('f1'))} |"
@@ -139,7 +139,13 @@ def main():
     if evalj:
         eps = evalj.get('epochs', {})
         if eps:
-            last = sorted(eps)[-1]
+            # keys are strings like '0_untrained', '5', '10' — sort by the
+            # numeric part, not lexicographically ('10' < '5' as strings)
+            def epoch_num(k):
+                digits = ''.join(c for c in str(k) if c.isdigit())
+                return (int(digits) if digits else -1, str(k))
+
+            last = sorted(eps, key=epoch_num)[-1]
             e = eps[last]
             parts += [
                 '', '## Convergence reference (diffusion, chip)', '',
@@ -147,6 +153,16 @@ def main():
                 f"Final epoch `{last}`: FID {fmt(e.get('fid'), 4)},"
                 f" precision {fmt(e.get('precision'))},"
                 f" recall {fmt(e.get('recall'))}, f1 {fmt(e.get('f1'))}.",
+            ]
+        r50 = evalj.get('run_50_epochs')
+        if r50:
+            fids = r50.get('fid_by_heavy_eval', [])
+            parts += [
+                '',
+                f"50-epoch run (reference default): FID by heavy eval"
+                f" {', '.join(fmt(f, 4) for f in fids)}"
+                f" — final {fmt(fids[-1], 4) if fids else '—'}."
+                f" {r50.get('description', '')}",
             ]
     out = ROOT / 'docs' / 'RESULTS.md'
     out.write_text('\n'.join(parts) + '\n')

@@ -1,13 +1,14 @@
 #!/bin/bash
-# Train every sampling model in the zoo for a real (20-epoch) run on chip
-# with heavy eval at the end, producing the measured numbers the reference
-# README lists as TODOs (reference README.md:145-148): test-set bits/dim for
-# the autoregressive models, FID / precision / recall for every model, and
+# Train every sampling model in the zoo for a real run on chip with heavy
+# eval at the end, producing the measured numbers the reference README lists
+# as TODOs (reference README.md:145-148): test-set bits/dim for the
+# autoregressive models, FID / precision / recall for every model, and
 # wall-clock train time. scripts/collect_results.py turns the logdirs into
-# RESULTS.json.
+# RESULTS.json. EPOCHS defaults to 10 to match scripts/chip_catchup.sh so
+# re-runs after an outage stay comparable within the table.
 set -e
 LOGROOT=${LOGROOT:-logs/zoo_results}
-EPOCHS=${EPOCHS:-20}
+EPOCHS=${EPOCHS:-10}
 MODELS=${MODELS:-"made rnn wavenet pixel_cnn gated_pixel_cnn \
 pixel_transformer vae vqvae gan diffusion_model"}
 
