@@ -27,6 +27,14 @@ def load(name):
     return json.loads(p.read_text()) if p.exists() else None
 
 
+def epoch_num(k):
+    """Sort key for EVAL.json epoch keys ('0_untrained', '5', '10'): numeric
+    part first — plain sorted() puts '10' before '5' lexicographically and
+    would publish a mid-run epoch as final."""
+    digits = ''.join(c for c in str(k) if c.isdigit())
+    return (int(digits) if digits else -1, str(k))
+
+
 def fmt(v, nd=3):
     if v is None:
         return '—'
@@ -139,12 +147,6 @@ def main():
     if evalj:
         eps = evalj.get('epochs', {})
         if eps:
-            # keys are strings like '0_untrained', '5', '10' — sort by the
-            # numeric part, not lexicographically ('10' < '5' as strings)
-            def epoch_num(k):
-                digits = ''.join(c for c in str(k) if c.isdigit())
-                return (int(digits) if digits else -1, str(k))
-
             last = sorted(eps, key=epoch_num)[-1]
             e = eps[last]
             parts += [
