@@ -30,8 +30,11 @@ results:  # measured zoo quality tables (bits/dim, FID, P/R) -> RESULTS.json
 results-md:  # re-render docs/RESULTS.md from the checked-in artifacts
 	python scripts/render_results.py
 
+results-catchup:  # after a chip outage: redo CPU-fallback rows on chip, refresh artifacts
+	bash scripts/chip_catchup.sh --force-cpu-redo
+
 lint:
 	python -m compileall -q generative_models_tpu tests scripts bench.py __graft_entry__.py
 	python scripts/lint.py
 
-.PHONY: test test-fast test-parity-tpu bench lint arbiters distill results results-md
+.PHONY: test test-fast test-parity-tpu bench lint arbiters distill results results-md results-catchup
