@@ -40,6 +40,29 @@ def test_quality_table_defaults_device_to_unknown():
     assert 'tpu' not in row
 
 
+def test_seed_diffusion_from_eval_fills_missing_entry():
+    """With no zoo-logdir diffusion run, the collector reuses the chip
+    eval_heavy artifact (EVAL.json) instead of leaving the row empty."""
+    cr = _load('collect_results')
+    result = {'models': {}}
+    cr.seed_diffusion_from_eval(result, eval_path=ROOT / 'EVAL.json')
+    entry = result['models']['diffusion_model']
+    assert entry['device'] == 'tpu'
+    assert 'EVAL.json' in entry['source']
+    ev = json.loads((ROOT / 'EVAL.json').read_text())
+    assert entry['fid'] == ev['epochs']['10']['fid']
+    assert entry['fid_untrained'] == ev['epochs']['0_untrained']['fid']
+
+
+def test_seed_diffusion_does_not_overwrite_real_run():
+    """A finished logdir-derived entry always wins over the EVAL.json seed."""
+    cr = _load('collect_results')
+    real = {'fid': 0.123, 'device': 'tpu', 'epochs_trained': 50}
+    result = {'models': {'diffusion_model': dict(real)}}
+    cr.seed_diffusion_from_eval(result, eval_path=ROOT / 'EVAL.json')
+    assert result['models']['diffusion_model'] == real
+
+
 def test_checked_in_results_have_explicit_device():
     """Every entry in the published RESULTS.json carries a real provenance
     stamp (collect_results writes 'unknown' rather than guessing)."""
