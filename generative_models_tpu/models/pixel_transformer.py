@@ -109,7 +109,14 @@ class Block(nn.Module):
 
 class TransformerNet(nn.Module):
     """Decoder-only transformer with Binary or Categorical head. The input is
-    right-shifted INSIDE __call__ (reference pixel_transformer.py:50)."""
+    right-shifted INSIDE __call__ (reference pixel_transformer.py:50).
+
+    use_pipe stores the n_layer homogeneous Blocks' params STACKED along a
+    leading layer axis (one 'blocks' pytree) — the layout pipeline
+    parallelism needs: the layer axis shards over the 'pipe' mesh axis
+    (transformer_pipe_rules), so each device holds only its stage's layers
+    and optimizer moments, and __call__ runs the GPipe microbatch schedule
+    (parallel/pipeline.py) instead of the sequential layer loop."""
 
     in_size: int
     block_size: int
@@ -119,46 +126,103 @@ class TransformerNet(nn.Module):
     head: str = 'bin'  # 'bin' | 'cat'
     use_pallas: bool = True
     use_ring: bool = False
+    use_pipe: bool = False
+    pipe_stages: int = 1
+
+    def _block(self):
+        # parent=None: a detached functional template (blk.apply with explicit
+        # per-layer params), not a registered submodule
+        return Block(
+            self.n_embed, self.n_head, self.use_pallas, self.use_ring,
+            parent=None,
+        )
 
     def setup(self):
         self.pos_emb = self.param(
             'pos_emb', nn.initializers.zeros, (1, self.block_size, self.n_embed)
         )
         self.embed = nn.Dense(self.n_embed, use_bias=False)
-        self.blocks = [
-            Block(
-                self.n_embed, self.n_head, self.use_pallas, self.use_ring,
-                name=f'block{i}',
-            )
-            for i in range(self.n_layer)
-        ]
+        if self.use_pipe:
+            blk = self._block()
+
+            def init_stacked(rng):
+                x0 = jnp.zeros((1, 1, self.n_embed), jnp.float32)
+                return jax.vmap(lambda r: blk.init(r, x0)['params'])(
+                    jax.random.split(rng, self.n_layer)
+                )
+
+            self.blocks_stacked = self.param('blocks', init_stacked)
+        else:
+            self.blocks = [
+                Block(
+                    self.n_embed, self.n_head, self.use_pallas, self.use_ring,
+                    name=f'block{i}',
+                )
+                for i in range(self.n_layer)
+            ]
         self.ln_f = nn.LayerNorm()
         # distribution heads (reference: gms/common.py:211-232)
         head_cls = BinaryHead if self.head == 'bin' else CategoricalHead
         self.head_layer = head_cls(self.in_size)
+
+    def _pipe_forward(self, h):
+        """Blocks over the 'pipe' mesh axis: n_layer/S layers per stage, each
+        stage scanning its own layers, activations ppermute-ing stage to
+        stage under the GPipe microbatch schedule."""
+        from generative_models_tpu.parallel import pipeline_apply
+
+        blk = self._block()
+        S = self.pipe_stages
+        grouped = jax.tree_util.tree_map(
+            lambda p: p.reshape(S, self.n_layer // S, *p.shape[1:]),
+            self.blocks_stacked,
+        )
+
+        def stage_fn(p, h):
+            def one(h, pl):
+                return blk.apply({'params': pl}, h), None
+
+            return jax.lax.scan(one, h, p)[0]
+
+        return pipeline_apply(stage_fn, grouped, h)
 
     def __call__(self, x):
         """x: (B, T, in_size) UNSHIFTED targets; returns the dist over x."""
         B, T, C = x.shape
         x = jnp.concatenate([jnp.zeros((B, 1, C), x.dtype), x[:, :-1]], axis=1)
         h = self.embed(x) + self.pos_emb[:, :T]
-        for block in self.blocks:
-            h = block(h)
+        if self.use_pipe:
+            h = self._pipe_forward(h)
+        else:
+            for block in self.blocks:
+                h = block(h)
         return self.head_layer(self.ln_f(h))
 
     def init_cache(self, batch):
         from generative_models_tpu.ops.attention import decode_cache_dtype
 
+        shape = (self.block_size, batch, 2, self.n_embed)
+        if self.use_pipe:
+            return jnp.zeros((self.n_layer, *shape), decode_cache_dtype())
         return [
-            jnp.zeros(
-                (self.block_size, batch, 2, self.n_embed), decode_cache_dtype()
-            )
-            for _ in range(self.n_layer)
+            jnp.zeros(shape, decode_cache_dtype()) for _ in range(self.n_layer)
         ]
 
     def decode_step(self, prev_token, caches, t):
         """prev_token: (B, in_size) (zeros at t=0); returns (logits_t, caches)."""
         h = self.embed(prev_token) + self.pos_emb[0, t]
+        if self.use_pipe:
+            blk = self._block()
+
+            def one(h, pkv):
+                p, kv = pkv
+                h, kv = blk.apply({'params': p}, h, kv, t, method=Block.step)
+                return h, kv
+
+            h, new_caches = jax.lax.scan(
+                one, h, (self.blocks_stacked, caches)
+            )
+            return self.head_layer(self.ln_f(h)).logits, new_caches
         new_caches = []
         for block, kv in zip(self.blocks, caches):
             h, kv = block.step(h, kv, t)
@@ -179,6 +243,29 @@ def transformer_tp_rules():
         (r'fc1/kernel$', (None, 'model')),
         (r'fc1/bias$', ('model',)),
         (r'fc2/kernel$', ('model', None)),
+    ]
+
+
+def transformer_pipe_rules(with_model=False):
+    """Param layout for the pipelined (stacked-blocks) TransformerNet: every
+    'blocks/...' leaf has a leading layer axis sharded over 'pipe' (each
+    stage holds only its own layers + their Adam moments). With a 'model'
+    axis also present, the trailing dims compose Megatron TP on top
+    (pipe x tensor parallelism from one rule set)."""
+    if with_model:
+        return [
+            (r'blocks/attn/(query|key|value)/kernel$', ('pipe', None, 'model')),
+            (r'blocks/attn/(query|key|value)/bias$', ('pipe', 'model')),
+            (r'blocks/attn/proj/kernel$', ('pipe', 'model', None)),
+            (r'blocks/fc1/kernel$', ('pipe', None, 'model')),
+            (r'blocks/fc1/bias$', ('pipe', 'model')),
+            (r'blocks/fc2/kernel$', ('pipe', 'model', None)),
+            (r'blocks/.*/kernel$', ('pipe', None, None)),
+            (r'blocks/.*/(bias|scale)$', ('pipe', None)),
+        ]
+    return [
+        (r'blocks/.*/kernel$', ('pipe', None, None)),
+        (r'blocks/.*/(bias|scale)$', ('pipe', None)),
     ]
 
 
@@ -218,7 +305,7 @@ class PixelTransformer(Autoreg):
 
     def build(self):
         from generative_models_tpu.ops import on_tpu
-        from generative_models_tpu.parallel import SEQ_AXIS, get_mesh
+        from generative_models_tpu.parallel import PIPE_AXIS, SEQ_AXIS, get_mesh
 
         # sequence parallelism: --mesh=seq:N routes attention through the
         # ring kernel (parallel/ring_attention.py) with T sharded over 'seq'
@@ -227,6 +314,14 @@ class PixelTransformer(Autoreg):
             SEQ_AXIS in mesh.axis_names
             and mesh.shape[SEQ_AXIS] > 1
             and self.block_size % mesh.shape[SEQ_AXIS] == 0
+        )
+        # pipeline parallelism: --mesh=pipe:N stacks the Block params along
+        # a leading layer axis sharded over 'pipe' and runs the GPipe
+        # microbatch schedule (parallel/pipeline.py); pipe:1 exercises the
+        # full machinery on one device (the overhead-measurement path)
+        use_pipe = (
+            PIPE_AXIS in mesh.axis_names
+            and self.G.n_layer % mesh.shape[PIPE_AXIS] == 0
         )
         return TransformerNet(
             in_size=1,
@@ -237,12 +332,21 @@ class PixelTransformer(Autoreg):
             head='bin',
             use_pallas=on_tpu() and not use_ring,
             use_ring=use_ring,
+            use_pipe=use_pipe,
+            pipe_stages=mesh.shape[PIPE_AXIS] if use_pipe else 1,
         )
 
     def example_input(self):
         return jnp.zeros((1, self.block_size, 1), jnp.float32)
 
     def param_sharding_rules(self):
+        from generative_models_tpu.parallel import MODEL_AXIS, get_mesh
+
+        mesh = get_mesh()
+        if getattr(self.net, 'use_pipe', False):
+            return transformer_pipe_rules(
+                with_model=MODEL_AXIS in mesh.axis_names
+            )
         return transformer_tp_rules()
 
     def loss(self, params, x, y=None, rng=None, train=True):

@@ -103,6 +103,17 @@ def _on_tpu():
     return jax.default_backend() == 'tpu'
 
 
+def _in_vma(x):
+    """Device-varying axis set of x's aval, or None outside check_vma-typed
+    shard_map traces. pallas_call out_shapes must carry this set (e.g. when
+    a pipeline stage body runs these kernels manual over 'pipe')."""
+    try:
+        vma = jax.typeof(x).vma
+    except AttributeError:
+        return None
+    return frozenset(vma) if vma else None
+
+
 def xla_causal_attention(q, k, v, t_valid=None):
     """Dense fallback: (B, H, T, D) -> (B, H, T, D) with tril mask."""
     T = q.shape[2]
@@ -173,8 +184,8 @@ def _flash_forward(q, k, v, scale, blk=128, interpret=None):
             pl.BlockSpec((1, G, T), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((BH // G, G, T), jnp.float32),
+            _sds((BH, T, D), _in_vma(q)),
+            _sds((BH // G, G, T), _in_vma(q)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * BH * T * T * D // 2,
@@ -246,9 +257,9 @@ def _flash_backward(q, k, v, o, lse, do, scale, blk=128, interpret=None):
         in_specs=[full, full, full, full, row, row],
         out_specs=(full, full, full),
         out_shape=(
-            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
+            _sds((BH, T, D), _in_vma(q)),
+            _sds((BH, T, D), _in_vma(q)),
+            _sds((BH, T, D), _in_vma(q)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * BH * T * T * D // 2,
@@ -348,8 +359,8 @@ def _flash_forward_streamed(q, k, v, scale, blk=128, interpret=None):
         in_specs=[qkv, kv, kv],
         out_specs=(qkv, row),
         out_shape=(
-            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((BH // G, G, T), jnp.float32),
+            _sds((BH, T, D), _in_vma(q)),
+            _sds((BH // G, G, T), _in_vma(q)),
         ),
         scratch_shapes=[
             pltpu.VMEM((G, blk, D), jnp.float32),
@@ -463,7 +474,7 @@ def _flash_backward_streamed(q, k, v, o, lse, do, scale, blk=128, interpret=None
         grid=(BH // G, n_blk, n_blk),
         in_specs=[qkv, kv, kv, qkv, row, row],
         out_specs=qkv,
-        out_shape=jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
+        out_shape=_sds((BH, T, D), _in_vma(q)),
         scratch_shapes=[pltpu.VMEM((G, blk, D), jnp.float32)],
         cost_estimate=cost,
         **params,
@@ -486,8 +497,8 @@ def _flash_backward_streamed(q, k, v, o, lse, do, scale, blk=128, interpret=None
         in_specs=[qkv_i, kv_m, kv_m, qkv_i, row_i, row_i],
         out_specs=(kv_m, kv_m),
         out_shape=(
-            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((BH, T, D), jnp.float32),
+            _sds((BH, T, D), _in_vma(q)),
+            _sds((BH, T, D), _in_vma(q)),
         ),
         scratch_shapes=[
             pltpu.VMEM((G, blk, D), jnp.float32),

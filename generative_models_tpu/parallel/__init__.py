@@ -15,3 +15,4 @@ from generative_models_tpu.parallel.mesh import (
     shard_batch,
     shard_by_rules,
 )
+from generative_models_tpu.parallel.pipeline import PIPE_AXIS, pipeline_apply

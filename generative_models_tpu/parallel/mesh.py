@@ -96,9 +96,27 @@ def constrain(x, *axes, mesh=None):
     'model' on heads/hidden features) and they become no-ops on meshes
     without those axes (e.g. single chip)."""
     mesh = mesh or get_mesh()
+    # inside a partial-manual shard_map trace (e.g. the pipeline body, manual
+    # over 'pipe') constraints must be built from the trace's abstract mesh,
+    # whose axis types mark the manual axes — a NamedSharding over the
+    # concrete mesh (all-Auto) rejects device-varying values. Manual axes are
+    # already physically sharded, so only constrain the Auto ones.
+    amesh = jax.sharding.get_abstract_mesh()
+    manual = set()
+    if not amesh.empty:
+        manual = set(getattr(amesh, 'manual_axes', ())) or {
+            n
+            for n, t in zip(amesh.axis_names, amesh.axis_types)
+            if str(t) == 'Manual'
+        }
+        mesh = amesh
     names = []
     for dim, a in zip(x.shape, axes):
-        ok = a in mesh.axis_names and dim % mesh.shape[a] == 0
+        ok = (
+            a in mesh.axis_names
+            and a not in manual
+            and dim % mesh.shape[a] == 0
+        )
         names.append(a if ok else None)  # skip non-divisible dims (e.g. init
         # with batch 1, or sampling with odd grid sizes)
     spec = P(*names)
