@@ -71,6 +71,7 @@ class DiffusionModel(GM):
             dropout=self.G.dropout,
             out_channels=2 if self.G.mean_type == 'both' else 1,
             dtype=jnp.bfloat16 if self.G.get('bf16', 1) else jnp.float32,
+            remat=bool(self.G.get('remat', 0)),
         )
 
     def init_params(self, rng):

@@ -103,6 +103,10 @@ class SimpleUnet(nn.Module):
     dropout: float = 0.0
     out_channels: int = 1
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # --remat: recompute each ResBlock in the backward
+    # (jax.checkpoint) instead of caching its activations; the UNet moves
+    # ~1 GB of activations per forward at C=128 (docs/PERF.md), so this is
+    # the knob that buys batch/resolution headroom on one chip
 
     @nn.compact
     def __call__(self, x, logsnr, guide=None, cond_w=None, train=True):
@@ -111,6 +115,13 @@ class SimpleUnet(nn.Module):
         dt = self.dtype
         in_dtype = x.dtype
         x = x.astype(dt)
+
+        def res_block(h, emb):
+            block = ResBlock(C, self.dropout, dtype=dt)
+            if not self.remat:
+                return block(h, emb, train)
+            # lifted-function remat: train stays a closed-over Python bool
+            return nn.remat(lambda mdl, h, e: mdl(h, e, train))(block, h, emb)
 
         emb = EmbedMLP(emb_dim, dtype=dt, name='time_embed')(
             timestep_embedding(logsnr, 64, MAX_TIMESTEPS).astype(dt)
@@ -133,18 +144,18 @@ class SimpleUnet(nn.Module):
         cache.append(h)
         for stage in range(2):
             for _ in range(2):
-                h = ResBlock(C, self.dropout, dtype=dt)(h, emb, train)
+                h = res_block(h, emb)
                 cache.append(h)
             h = Downsample(C, dtype=dt)(h)
             cache.append(h)
 
-        h = ResBlock(C, self.dropout, dtype=dt)(h, emb, train)  # turn
+        h = res_block(h, emb)  # turn
 
         # --- up: 7 stages, each concats one cached skip (reversed);
         # stages 0 and 3 also upsample (simple_unet.py:125-152) ---
         for i, skip in enumerate(cache[::-1]):
             h = jnp.concatenate([h, skip], axis=-1)
-            h = ResBlock(C, self.dropout, dtype=dt)(h, emb, train)
+            h = res_block(h, emb)
             if i in (0, 3):
                 h = Upsample(C, dtype=dt)(h)
 

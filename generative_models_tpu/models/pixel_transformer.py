@@ -128,6 +128,10 @@ class TransformerNet(nn.Module):
     use_ring: bool = False
     use_pipe: bool = False
     pipe_stages: int = 1
+    remat: bool = False  # --remat: recompute each Block in the backward
+    # instead of caching its activations (jax.checkpoint) — trades ~1/3 more
+    # FLOPs for O(n_layer) less HBM, the standard TPU recipe for long
+    # context / deep stacks (measured numbers in docs/PERF.md)
 
     def _block(self):
         # parent=None: a detached functional template (blk.apply with explicit
@@ -182,6 +186,8 @@ class TransformerNet(nn.Module):
             def one(h, pl):
                 return blk.apply({'params': pl}, h), None
 
+            if self.remat:
+                one = jax.checkpoint(one)
             return jax.lax.scan(one, h, p)[0]
 
         return pipeline_apply(stage_fn, grouped, h)
@@ -193,6 +199,12 @@ class TransformerNet(nn.Module):
         h = self.embed(x) + self.pos_emb[:, :T]
         if self.use_pipe:
             h = self._pipe_forward(h)
+        elif self.remat:
+            # lifted-function form keeps block.step (the KV-cached decode
+            # path) untouched; only the training forward is checkpointed
+            run = nn.remat(lambda blk, h: blk(h))
+            for block in self.blocks:
+                h = run(block, h)
         else:
             for block in self.blocks:
                 h = block(h)
@@ -334,6 +346,7 @@ class PixelTransformer(Autoreg):
             use_ring=use_ring,
             use_pipe=use_pipe,
             pipe_stages=mesh.shape[PIPE_AXIS] if use_pipe else 1,
+            remat=bool(self.G.get('remat', 0)),
         )
 
     def example_input(self):

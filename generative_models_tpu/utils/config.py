@@ -69,6 +69,9 @@ def global_defaults():
     DG.data_dir = Path('./data/')
     DG.mesh = ''              # e.g. 'data:8' or 'data:4,model:2'; '' = all-data
     DG.profile = 0            # emit jax.profiler traces into logdir
+    DG.remat = 0              # rematerialize blocks in the backward
+    # (jax.checkpoint): ~1/3 more FLOPs for O(depth) less activation HBM;
+    # honored by pixel_transformer (incl. pipe/ring paths) + diffusion UNet
     DG.ckpt = 'flax'          # checkpoint backend: 'flax' bytes | 'orbax'
     return DG
 
