@@ -292,6 +292,22 @@ def test_pipeline_composes_with_data_axis():
     np.testing.assert_allclose(l22, l1, rtol=1e-4)
 
 
+def test_pipeline_composes_with_data_and_model_axes():
+    """data:2,pipe:2,model:2 — dp x pp x tp from ONE mesh on 8 devices: the
+    batch shards over 'data', the stacked Block params shard over 'pipe'
+    (GPipe schedule, manual axis) AND over 'model' (Megatron TP inside each
+    stage, GSPMD auto axis, ('pipe', None, 'model') rules). Training must
+    match the single-device one-stage run."""
+    x = jnp.asarray(
+        (np.random.RandomState(5).rand(8, 28, 28, 1) > 0.5).astype(np.float32)
+    )
+    l3d, _, n_pipe = _pipe_transformer('data:2,pipe:2,model:2', 8, x)
+    l1, _, _ = _pipe_transformer('pipe:1', 1, x)
+    set_mesh(make_mesh('', jax.devices()))
+    assert n_pipe > 0
+    np.testing.assert_allclose(l3d, l1, rtol=1e-4)
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
