@@ -71,25 +71,40 @@ class CausalSelfAttention(nn.Module):
 
 
 class Block(nn.Module):
-    """pre-LN attention + MLP (reference pixel_transformer.py:125-142)."""
+    """pre-LN attention + MLP (reference pixel_transformer.py:125-142).
+    With n_experts > 0 the dense MLP becomes a top-1-routed MoE layer whose
+    expert-stacked params shard over the 'expert' mesh axis (models/moe.py)."""
 
     n_embed: int
     n_head: int
     use_pallas: bool = True
     use_ring: bool = False
+    n_experts: int = 0
+    moe_cap: float = 2.0
 
     def setup(self):
+        from generative_models_tpu.models.moe import MoEMLP
+
         self.ln1 = nn.LayerNorm()
         self.ln2 = nn.LayerNorm()
         self.attn = CausalSelfAttention(
             self.n_embed, self.n_head, self.use_pallas, self.use_ring
         )
-        self.fc1 = nn.Dense(4 * self.n_embed)
-        self.fc2 = nn.Dense(self.n_embed)
+        if self.n_experts:
+            self.moe = MoEMLP(
+                self.n_embed, self.n_experts, self.moe_cap, name='moe'
+            )
+        else:
+            self.fc1 = nn.Dense(4 * self.n_embed)
+            self.fc2 = nn.Dense(self.n_embed)
 
     def _mlp(self, x):
         from generative_models_tpu.parallel import constrain
 
+        if self.n_experts:
+            # 3-D = training forward (dispatch/combine einsums); 2-D = one
+            # decode step (dense-all-experts select)
+            return self.moe(x) if x.ndim == 3 else self.moe.step(x)
         # TP: the 4x hidden shards over 'model' (column-parallel fc1,
         # row-parallel fc2)
         h = constrain(nn.gelu(self.fc1(x)), 'data', None, 'model')
@@ -132,16 +147,24 @@ class TransformerNet(nn.Module):
     # instead of caching its activations (jax.checkpoint) — trades ~1/3 more
     # FLOPs for O(n_layer) less HBM, the standard TPU recipe for long
     # context / deep stacks (measured numbers in docs/PERF.md)
+    n_experts: int = 0  # --moe_experts: top-1-routed MoE MLPs whose
+    # expert-stacked params shard over the 'expert' mesh axis (models/moe.py)
+    moe_cap: float = 2.0
 
     def _block(self):
         # parent=None: a detached functional template (blk.apply with explicit
         # per-layer params), not a registered submodule
         return Block(
             self.n_embed, self.n_head, self.use_pallas, self.use_ring,
+            self.n_experts, self.moe_cap,
             parent=None,
         )
 
     def setup(self):
+        assert not (self.use_pipe and self.n_experts), (
+            'MoE blocks inside the GPipe stack are not supported yet: the '
+            'sown aux loss cannot cross the pipeline shard_map boundary'
+        )
         self.pos_emb = self.param(
             'pos_emb', nn.initializers.zeros, (1, self.block_size, self.n_embed)
         )
@@ -160,6 +183,7 @@ class TransformerNet(nn.Module):
             self.blocks = [
                 Block(
                     self.n_embed, self.n_head, self.use_pallas, self.use_ring,
+                    self.n_experts, self.moe_cap,
                     name=f'block{i}',
                 )
                 for i in range(self.n_layer)
@@ -308,6 +332,10 @@ class PixelTransformer(Autoreg):
     DG.n_head = 4
     DG.n_embed = 128
     DG.lr = 1e-3
+    # --- MoE extension (models/moe.py; 0 = the reference's dense MLP) ---
+    DG.moe_experts = 0
+    DG.moe_cap = 2.0   # per-expert capacity factor (cap = T/E * this)
+    DG.moe_aux = 0.01  # Switch load-balance aux loss weight
 
     def __init__(self, G):
         self.side = 32 if G.get('pad32', 0) else 28
@@ -347,6 +375,8 @@ class PixelTransformer(Autoreg):
             use_pipe=use_pipe,
             pipe_stages=mesh.shape[PIPE_AXIS] if use_pipe else 1,
             remat=bool(self.G.get('remat', 0)),
+            n_experts=int(self.G.get('moe_experts', 0)),
+            moe_cap=float(self.G.get('moe_cap', 2.0)),
         )
 
     def example_input(self):
@@ -360,10 +390,32 @@ class PixelTransformer(Autoreg):
             return transformer_pipe_rules(
                 with_model=MODEL_AXIS in mesh.axis_names
             )
-        return transformer_tp_rules()
+        rules = transformer_tp_rules()
+        if self.net.n_experts:
+            from generative_models_tpu.models.moe import moe_rules
+
+            rules = moe_rules(
+                with_model=MODEL_AXIS in mesh.axis_names
+            ) + rules
+        return rules
 
     def loss(self, params, x, y=None, rng=None, train=True):
         x = x.reshape(x.shape[0], self.block_size, 1)
+        if self.net.n_experts:
+            dist, inter = self.net.apply(
+                {'params': params}, x, mutable=['intermediates']
+            )
+            nlogp = -dist.log_prob(x).mean()
+            # every MoEMLP sows one scalar; average them (Switch eq. 6 is
+            # per-layer, weighted by moe_aux)
+            auxes = [
+                v
+                for leaf in jax.tree_util.tree_leaves(inter['intermediates'])
+                for v in (leaf if isinstance(leaf, tuple) else (leaf,))
+            ]
+            aux = sum(auxes) / len(auxes)
+            loss = nlogp + float(self.G.get('moe_aux', 0.01)) * aux
+            return loss, {'nlogp': nlogp, 'moe_aux': aux}
         dist = self.net.apply({'params': params}, x)
         loss = -dist.log_prob(x).mean()
         return loss, {'nlogp': loss}
