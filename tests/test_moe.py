@@ -130,3 +130,19 @@ def test_expert_ffn_compute_is_local():
         and 'lhs_batch_dims={0}' in ln
     ]
     assert local_ffn_dots, 'no expert-local (E=2) FFN dot found in the HLO'
+
+
+def test_moe_composes_with_remat():
+    """--remat wraps Blocks in nn.remat; flax's lifted remat must thread the
+    sown moe_aux through — loss AND aux identical with remat on/off."""
+    try:
+        m0 = _build('', 1)
+        m1 = _build('', 1, ('--remat=1',))
+        x = jnp.asarray(
+            (np.random.RandomState(3).rand(8, 28, 28, 1) > 0.5).astype(np.float32)
+        )
+        r0, r1 = m0.train_step(x, None), m1.train_step(x, None)
+    finally:
+        set_mesh(make_mesh('', jax.devices()))
+    np.testing.assert_allclose(float(r0['nlogp']), float(r1['nlogp']), rtol=1e-6)
+    np.testing.assert_allclose(float(r0['moe_aux']), float(r1['moe_aux']), rtol=1e-6)
