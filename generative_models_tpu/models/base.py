@@ -109,7 +109,42 @@ class GM:
     # state construction
     # ------------------------------------------------------------------ #
     def make_optimizer(self):
-        return optax.adam(self.G.lr)
+        """Adam on self.G.lr, extended by the trainer knobs:
+        --lr_scheduler=cosine (+ --warmup_steps/--lr_decay_steps) makes the
+        reference's dead lr_scheduler flag real (ref diffusion_model.py:29
+        declares it but never reads it); --grad_clip adds global-norm
+        clipping; --grad_accum=k accumulates k micro-batch grads per
+        optimizer update (optax.MultiSteps) — the single-chip stand-in for
+        a bigger data axis. Models that override this for reference-parity
+        betas (gan, the vqvae prior) keep their own optimizers."""
+        tx = optax.adam(self.lr_schedule())
+        clip = float(self.G.get('grad_clip', 0) or 0)
+        if clip > 0:
+            tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+        accum = int(self.G.get('grad_accum', 1) or 1)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        return tx
+
+    def lr_schedule(self):
+        """Scalar lr, or an optax schedule when --lr_scheduler/--warmup_steps
+        ask for one: linear 0->lr warmup, then (cosine) decay to 0 over
+        --lr_decay_steps or (none) constant."""
+        G = self.G
+        base = float(G.lr)
+        sched = str(G.get('lr_scheduler', 'none') or 'none')
+        warm = int(G.get('warmup_steps', 0) or 0)
+        if sched == 'none' and warm == 0:
+            return base
+        if sched == 'cosine':
+            decay = int(G.get('lr_decay_steps', 0) or 0)
+            assert decay > 0, '--lr_scheduler=cosine needs --lr_decay_steps'
+            return optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=base, warmup_steps=warm,
+                decay_steps=warm + decay, end_value=0.0,
+            )
+        assert sched == 'none', f'unknown --lr_scheduler={sched}'
+        return optax.linear_schedule(0.0, base, warm)  # warmup, then constant
 
     def param_sharding_rules(self):
         """[(path_regex, per-dim mesh-axis tuple)] tensor-parallel placements

@@ -69,6 +69,12 @@ def global_defaults():
     DG.data_dir = Path('./data/')
     DG.mesh = ''              # e.g. 'data:8' or 'data:4,model:2'; '' = all-data
     DG.profile = 0            # emit jax.profiler traces into logdir
+    DG.lr_scheduler = 'none'  # 'none' | 'cosine' (the reference declares
+    # this flag on its diffusion model but never reads it; here it is real)
+    DG.grad_clip = 0.0        # >0: clip grads to this global norm
+    DG.grad_accum = 1         # >1: accumulate k micro-batch grads per update
+    DG.warmup_steps = 0       # linear 0->lr warmup steps
+    DG.lr_decay_steps = 0     # cosine decay horizon (with --lr_scheduler)
     DG.remat = 0              # rematerialize blocks in the backward
     # (jax.checkpoint): ~1/3 more FLOPs for O(depth) less activation HBM;
     # honored by pixel_transformer (incl. pipe/ring paths) + diffusion UNet
