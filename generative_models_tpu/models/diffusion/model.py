@@ -39,6 +39,10 @@ class DiffusionModel(GM):
     DG.teacher_mode = 'step1'
     DG.lr_scheduler = 'none'
     DG.bf16 = 1  # bf16 compute (TPU AMP equivalent)
+    DG.ema = 0.0  # >0 (e.g. 0.999): keep an exponential moving average of
+    # the params and SAMPLE from it (training/eval-loss stay on the live
+    # params) — the standard diffusion quality lever; the reference has no
+    # EMA at all. Rides TrainState.extra like the frozen teacher.
     # guided sampling: 1 = one doubled-batch net call per step, 0 = two
     # separate calls. Measured on v5e at bs=64 the two-call path wins
     # (0.84s vs 0.98s per 64-image grid) — the doubled working set costs
@@ -97,9 +101,16 @@ class DiffusionModel(GM):
 
     def init_state(self, rng):
         state = super().init_state(rng)
+        extra = {}
         if self.has_teacher:
             # placeholder; real teacher weights loaded in _load_teacher
-            state = state.replace(extra={'teacher': state.params})
+            extra['teacher'] = state.params
+        if float(self.G.get('ema', 0)):
+            # distinct buffers: params and ema are BOTH donated by the train
+            # step, so they must not alias
+            extra['ema'] = jax.tree_util.tree_map(jnp.copy, state.params)
+        if extra:
+            state = state.replace(extra=extra)
         return state
 
     def _load_teacher(self, path):
@@ -122,9 +133,13 @@ class DiffusionModel(GM):
         )
         from generative_models_tpu.parallel import replicate
 
+        extra = {'teacher': teacher_params}
+        if float(self.G.get('ema', 0)):
+            # EMA restarts from the teacher (copied: no donation aliasing)
+            extra['ema'] = jax.tree_util.tree_map(jnp.copy, teacher_params)
         self.state = replicate(
             jax.device_get(self.state).replace(
-                params=teacher_params, extra={'teacher': teacher_params}
+                params=teacher_params, extra=extra
             )
         )
 
@@ -185,10 +200,27 @@ class DiffusionModel(GM):
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
+        extra = state.extra
+        d = float(self.G.get('ema', 0))
+        if d:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1 - d) * p, extra['ema'], params
+            )
+            extra = {**extra, 'ema': ema}
         return (
-            state.replace(params=params, opt_state=opt_state, step=state.step + 1),
+            state.replace(
+                params=params, opt_state=opt_state, step=state.step + 1,
+                extra=extra,
+            ),
             metrics,
         )
+
+    def _sample_params(self, state):
+        """Sampling reads the EMA params when --ema is on; training and the
+        eval loss stay on the live params."""
+        if isinstance(state.extra, dict) and 'ema' in state.extra:
+            return state.extra['ema']
+        return state.params
 
     def loss_metrics_fn(self, state, x, y):
         rng = jax.random.fold_in(state.rng, self.EVAL_RNG_TAG)
@@ -199,7 +231,7 @@ class DiffusionModel(GM):
     # ---------------------------------------------------------------- #
     def sample_chain_fn(self, state, noise, y, rng, cond_w=None,
                         return_history=True):
-        net = self._make_net(state.params, y)
+        net = self._make_net(self._sample_params(state), y)
         teacher_net = None
         if self.has_teacher:
             teacher_net = self._make_net(state.extra['teacher'], y)
