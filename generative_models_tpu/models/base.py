@@ -156,6 +156,10 @@ class GM:
         """Lay the train state out on the mesh: TP-ruled leaves sharded over
         'model', everything else replicated."""
         rules = self.param_sharding_rules()
+        if int(self.G.get('fsdp', 0)):
+            from generative_models_tpu.parallel import fsdp_place
+
+            return fsdp_place(state, rules)
         if not rules:
             return replicate(state)
         from generative_models_tpu.parallel import shard_by_rules

@@ -5,6 +5,7 @@ from generative_models_tpu.parallel.mesh import (
     batch_sharding,
     constrain,
     constrain_batch,
+    fsdp_place,
     get_mesh,
     make_mesh,
     maybe_initialize_distributed,

@@ -75,6 +75,8 @@ def global_defaults():
     DG.grad_accum = 1         # >1: accumulate k micro-batch grads per update
     DG.warmup_steps = 0       # linear 0->lr warmup steps
     DG.lr_decay_steps = 0     # cosine decay horizon (with --lr_scheduler)
+    DG.fsdp = 0               # ZeRO-3: shard params + Adam moments over the
+    # 'data' mesh axis (parallel/mesh.py::fsdp_place); composes with TP rules
     DG.remat = 0              # rematerialize blocks in the backward
     # (jax.checkpoint): ~1/3 more FLOPs for O(depth) less activation HBM;
     # honored by pixel_transformer (incl. pipe/ring paths) + diffusion UNet
