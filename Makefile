@@ -10,6 +10,10 @@ test-fast:
 test-parity-tpu:
 	GMT_TESTS_ON_TPU=1 python -m pytest tests/test_parity_curves.py -v
 
+# re-record OUR chip curves for the fast recorded-parity test (~15 min)
+parity-record:
+	python scripts/record_parity_curves.py
+
 bench:
 	python bench.py
 
@@ -37,4 +41,4 @@ lint:
 	python -m compileall -q generative_models_tpu tests scripts bench.py __graft_entry__.py
 	python scripts/lint.py
 
-.PHONY: test test-fast test-parity-tpu bench lint arbiters distill results results-md results-catchup
+.PHONY: test test-fast test-parity-tpu parity-record bench lint arbiters distill results results-md results-catchup

@@ -1,148 +1,22 @@
-"""Cross-framework loss-curve parity (BASELINE.md north star: per-model loss
-curves at fixed seeds match the reference).
+"""Cross-framework loss-curve parity, LIVE regeneration (BASELINE.md north
+star: per-model loss curves at fixed seeds match the reference).
 
-scripts/measure_reference_cpu.py records seeded torch-CPU loss curves for all
-12 reference models on the deterministic shared workload
-(generative_models_tpu/data/parity.py); these tests run OUR models on the
-IDENTICAL batches and assert parity-or-better: the curve stays finite, learns
-whenever the reference learns, and its converged-window mean is no WORSE than
-the reference's beyond a per-model tolerance (lower loss is allowed — inits
-and RNG streams differ across frameworks, and several of our models optimize
-faster at the same hyperparameters). Exact math parity is pinned separately
-in tests/test_diffusion_math.py.
+This file re-trains OUR models on the reference recorder's identical seeded
+batches and asserts the parity contract in tests/parity_common.py. Runtime:
+~15 min for all 12 on one chip (`make test-parity-tpu`, GMT_TESTS_ON_TPU=1);
+on the 1-core XLA-CPU fallback some conv-model jit compiles alone exceed 20
+minutes — for a fast, hardware-independent check of the SAME invariants over
+chip-recorded curves, run tests/test_parity_recorded.py instead (seconds).
 
 Reference training loop being mirrored: gms/main.py:152-217.
-
-Every model is compared on >= 20 aligned steps, the curve must descend
-through its windowed thirds whenever the reference learned, and gan (whose
-adversarial disc loss has no 'lower is better') is asserted inside a
-two-sided band around the reference level. Runtime: ~15 min for all 12 on
-one chip (`make test-parity-tpu`, GMT_TESTS_ON_TPU=1); on the 1-core
-XLA-CPU fallback some conv-model jit compiles alone exceed 20 min.
 """
 
-import json
-from pathlib import Path
-
-import jax.numpy as jnp
-import numpy as np
 import pytest
 
-REF_PATH = Path(__file__).resolve().parent.parent / 'reference_cpu_baseline.json'
-REF = (
-    json.loads(REF_PATH.read_text()).get('curves', {}) if REF_PATH.exists() else {}
-)
-
-# reference recorder name -> our registry name
-NAME_MAP = {'diffusion': 'diffusion_model'}
-# config overrides to mirror the recorder's exact workload
-EXTRA = {
-    'diffusion': {'bf16': 0, 'cf_drop_prob': 0.0, 'class_cond': 1, 'fused_cfg': 0},
-}
-# compare this metric instead of the primary one (vq_vae_loss includes the
-# embed term whose codebook-warmup dynamics are init-dependent; recon is the
-# comparable quantity)
-KEY_OVERRIDE = {'vqvae': 'recon_loss'}
-# converged-window relative tolerance (how much WORSE than the reference we
-# may be; being better always passes)
-TOL = {
-    'made': 0.10,
-    'rnn': 0.15,
-    'wavenet': 0.20,
-    'pixel_cnn': 0.15,
-    'gated_pixel_cnn': 0.20,
-    'pixel_transformer': 0.20,
-    'vae': 0.20,
-    'vqvae': 0.25,
-    'diffusion': 0.35,
-    'autoencoder': 0.40,
-    'classifier': 0.30,
-}
-# oscillating metrics (GAN disc loss has no 'lower is better'): assert a
-# two-sided band around the reference level instead of one-sided tolerance
-BAND = {'gan': 3.0}
-# CPU-runtime caps: run only this many steps, compare against the same-length
-# prefix of the reference curve (XLA-CPU convs are seconds-to-minutes/step
-# for the conv models). Every model is compared on >= 20 aligned steps.
-CAP = {
-    'gan': 20,
-    'wavenet': 20,
-    'pixel_cnn': 20,
-    'gated_pixel_cnn': 20,
-    'rnn': 20,
-    # vae converges slower early but matches by ~step 48: no cap
-    'autoencoder': 24,
-    'vqvae': 20,
-}
-
-
-def build(ref_name, bs):
-    from generative_models_tpu.utils import discover_models
-    from generative_models_tpu.utils.config import global_defaults
-
-    Model = discover_models()[NAME_MAP.get(ref_name, ref_name)]
-    G = global_defaults()
-    for k, v in Model.DG.items():
-        G[k] = v
-    for k, v in EXTRA.get(ref_name, {}).items():
-        G[k] = v
-    G.bs = bs
-    return Model(G=G)
-
-
-def run_ours(name):
-    from generative_models_tpu.data.parity import parity_batches
-
-    info = REF[name]
-    key = KEY_OVERRIDE.get(name, info['key'])
-    steps = min(info['steps'], CAP.get(name, info['steps']))
-    ref_curve = info.get('all', {}).get(key, info['curve'])[:steps]
-    bx, by = parity_batches(4096, info['bs'], steps, info['binarize'])
-    model = build(name, info['bs'])
-    curve = []
-    for i in range(steps):
-        mets = model.train_step(jnp.asarray(bx[i]), jnp.asarray(by[i]))
-        curve.append(float(mets[key]))
-    return curve, ref_curve
-
-
-def window_mean(curve, last=True):
-    n = max(1, len(curve) // 3)
-    return float(np.mean(curve[-n:] if last else curve[:n]))
-
-
-def thirds(curve):
-    n = max(1, len(curve) // 3)
-    return [float(np.mean(curve[:n])), float(np.mean(curve[n:-n] or curve)),
-            float(np.mean(curve[-n:]))]
+from parity_common import REF, check_parity, run_ours
 
 
 @pytest.mark.parametrize('name', sorted(REF))
 def test_loss_curve_parity(name):
     ours, ref = run_ours(name)
-    assert np.all(np.isfinite(ours)), ours
-    assert len(ours) >= 20, f'{name}: only {len(ours)} aligned steps'
-    rf, of = window_mean(ref), window_mean(ours)
-    if name in BAND:  # oscillating metric: two-sided band around the ref
-        band = BAND[name]
-        assert rf / band <= of <= rf * band, (
-            f'{name}: ours {of:.4f} outside {band}x band of ref {rf:.4f}'
-        )
-        return
-    # shape: if the reference learned over this window, our curve must both
-    # learn AND descend through its windowed thirds (5% noise slack)
-    if window_mean(ref) < 0.95 * window_mean(ref, last=False):
-        assert window_mean(ours) < window_mean(ours, last=False), (
-            name, ours[:3], ours[-3:],
-        )
-        w1, w2, w3 = thirds(ours)
-        slack = 0.05 * max(abs(w1), 0.05)
-        assert w2 <= w1 + slack and w3 <= w2 + slack, (
-            f'{name}: curve not monotonically improving through thirds '
-            f'({w1:.4f}, {w2:.4f}, {w3:.4f}); full ours={ours}'
-        )
-    # level: no worse than the reference beyond tolerance (better is fine)
-    assert of <= rf + TOL[name] * max(abs(rf), 0.05), (
-        f'{name}: ours {of:.4f} vs reference {rf:.4f} '
-        f'(tol {TOL[name]:.0%}); full ours={ours} ref={ref}'
-    )
+    check_parity(name, ours, ref)
