@@ -1,0 +1,241 @@
+"""Serving path: load a trained checkpoint and serve samples.
+
+The reference stops at training (its only "serving" is evaluate() writing
+TensorBoard images); this module is the deployment story the framework adds:
+
+  python -m generative_models_tpu.serve --model=diffusion_model \
+      --weights_from=logs/model.pt --n=25 --out=grid.png      # one-shot
+  python -m generative_models_tpu.serve --model=diffusion_model \
+      --weights_from=logs/model.pt --port=8000                # HTTP server
+
+TPU-native serving shape:
+  * ONE compiled executable: requests are padded up to a fixed --serve_bs
+    and sliced back down, so every request hits the same jitted
+    sample_images graph — no shape-polymorphic recompiles at request time
+    (XLA compiles per static shape; an unpadded server would recompile for
+    every distinct n).
+  * the executable is warmed at startup (compile + one run), so first
+    request latency == steady-state latency.
+  * requests are serialized through a lock (one chip, one stream); the
+    HTTP layer is stdlib ThreadingHTTPServer — no web-framework deps.
+  * /healthz reports rolling latency stats; /sample?n=16&y=3 returns a PNG
+    grid (pure-stdlib zlib PNG encoder — the env ships no image library
+    guaranteed to exist at serve time).
+
+Checkpoint format is the training artifact (model.pt flax bytes or an
+orbax_state dir) plus its sibling hps.yaml — the same --weights_from
+round-trip the training CLI uses (reference: gms/main.py:55-64).
+"""
+
+import json
+import struct
+import threading
+import time
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+
+def png_encode(img):
+    """uint8 (H, W), (H, W, 1) or (H, W, 3) -> PNG bytes (stdlib only)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError(f'png_encode wants uint8, got {img.dtype}')
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[..., 0]
+    if img.ndim == 2:
+        color = 0  # grayscale
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color = 2  # truecolor
+    else:
+        raise ValueError(f'png_encode wants (H,W[,1|3]), got {img.shape}')
+    h, w = img.shape[:2]
+    raw = b''.join(b'\x00' + img[i].tobytes() for i in range(h))
+
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack('>I', len(data)) + body + struct.pack(
+            '>I', zlib.crc32(body)
+        )
+
+    ihdr = struct.pack('>IIBBBBB', w, h, 8, color, 0, 0, 0)
+    return (
+        b'\x89PNG\r\n\x1a\n'
+        + chunk(b'IHDR', ihdr)
+        + chunk(b'IDAT', zlib.compress(raw, 6))
+        + chunk(b'IEND', b'')
+    )
+
+
+def tile_grid(x, cols=None):
+    """(n, H, W, C) float [0,1] -> uint8 (rows*H, cols*W, C) grid, zero-
+    padding the last row."""
+    x = np.asarray(x, np.float32)
+    n, h, w, c = x.shape
+    cols = cols or int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    canvas = np.zeros((rows * cols, h, w, c), np.float32)
+    canvas[:n] = x
+    grid = (
+        canvas.reshape(rows, cols, h, w, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * h, cols * w, c)
+    )
+    return (np.clip(grid, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+class SampleServer:
+    """Owns the model + the one compiled sampling executable.
+
+    Every request pads to serve_bs, runs the SAME jitted graph, slices to
+    n. Thread-safe: the chip is a single stream, so requests serialize
+    through a lock; latency stats accumulate under the same lock."""
+
+    def __init__(self, model, serve_bs=64):
+        self.model = model
+        self.serve_bs = int(serve_bs)
+        self.class_cond = bool(model.G.get('class_cond', 0))
+        self._lock = threading.Lock()
+        self.latencies = []
+        self.warm_sec = None
+
+    def warm(self):
+        """Compile + run the serving graph once so request #1 is fast."""
+        t0 = time.time()
+        out = self._run(self._pad_y(None))
+        np.asarray(out)  # block
+        self.warm_sec = time.time() - t0
+        return self.warm_sec
+
+    def _pad_y(self, y):
+        if not self.class_cond:
+            return None
+        full = -np.ones((self.serve_bs,), np.int32)  # -1 = unconditional
+        if y is not None:
+            y = np.asarray(y, np.int32).reshape(-1)
+            full[: len(y)] = y[: self.serve_bs]
+        import jax.numpy as jnp
+
+        return jnp.asarray(full)
+
+    def _run(self, y):
+        if y is None:
+            return self.model.sample_images(self.serve_bs)
+        return self.model.sample_images(self.serve_bs, y=y)
+
+    def sample(self, n, y=None):
+        """n samples (optionally class labels y, broadcast/truncated to n)
+        -> (n, H, W, 1) float array in [0, 1]."""
+        n = max(1, min(int(n), self.serve_bs))
+        if y is not None:
+            y = np.asarray(y, np.int32).reshape(-1)
+            if len(y) == 1:
+                y = np.repeat(y, n)
+        with self._lock:
+            t0 = time.time()
+            out = np.asarray(self._run(self._pad_y(y)))
+            dt = time.time() - t0
+            self.latencies.append(dt)
+            if len(self.latencies) > 1000:
+                del self.latencies[:-1000]
+        return out[:n]
+
+    def stats(self):
+        lat = sorted(self.latencies)
+        pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))] if lat else None
+        return {
+            'model': self.model.G.model,
+            'serve_bs': self.serve_bs,
+            'class_cond': self.class_cond,
+            'requests': len(self.latencies),
+            'warm_sec': self.warm_sec,
+            'latency_p50_sec': pick(0.50),
+            'latency_p90_sec': pick(0.90),
+        }
+
+
+def _http_serve(server, port):
+    """stdlib HTTP front: GET /healthz (JSON), GET /sample?n=16&y=3 (PNG)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, ctype, body):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == '/healthz':
+                body = json.dumps(server.stats()).encode()
+                return self._send(200, 'application/json', body)
+            if url.path == '/sample':
+                q = parse_qs(url.query)
+                try:
+                    n = int(q.get('n', ['25'])[0])
+                    y = (
+                        [int(v) for v in q['y'][0].split(',')]
+                        if 'y' in q
+                        else None
+                    )
+                except ValueError:
+                    return self._send(400, 'text/plain', b'bad n/y')
+                imgs = server.sample(n, y=y)
+                png = png_encode(tile_grid(imgs))
+                return self._send(200, 'image/png', png)
+            return self._send(404, 'text/plain', b'try /healthz or /sample')
+
+    httpd = ThreadingHTTPServer(('0.0.0.0', port), Handler)
+    return httpd
+
+
+def load_server(argv=None):
+    """Parse serve flags (the training CLI's two-phase parse plus
+    --serve_bs/--port/--n/--out), build the model, load weights, warm."""
+    from generative_models_tpu.parallel import make_mesh, set_mesh
+    from generative_models_tpu.utils import discover_models
+    from generative_models_tpu.utils.config import (
+        global_defaults, maybe_enable_compile_cache, parse_args,
+    )
+
+    DG = global_defaults()
+    DG.serve_bs = 64
+    DG.port = 0       # >0: run the HTTP server
+    DG.n = 25         # one-shot sample count
+    DG.out = Path('samples.png')
+    G, Model = parse_args(argv, discover_models=discover_models, DG=DG)
+    maybe_enable_compile_cache(G)
+    set_mesh(make_mesh(G.get('mesh', '')))
+    model = Model(G=G)
+    if G.weights_from != Path('.'):
+        model.load_weights(G.weights_from)
+    server = SampleServer(model, serve_bs=G.serve_bs)
+    return server, G
+
+
+def main(argv=None):
+    server, G = load_server(argv)
+    print(f'warming {G.model} serve_bs={server.serve_bs} ...', flush=True)
+    warm = server.warm()
+    print(f'warm in {warm:.2f}s', flush=True)
+    if int(G.port) > 0:
+        httpd = _http_serve(server, int(G.port))
+        print(f'serving on :{G.port} (/healthz, /sample?n=16&y=3)', flush=True)
+        httpd.serve_forever()
+        return
+    imgs = server.sample(int(G.n))
+    png = png_encode(tile_grid(imgs))
+    Path(G.out).write_bytes(png)
+    print(json.dumps(server.stats()))
+    print(f'wrote {G.out}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,107 @@
+"""Serving path (generative_models_tpu/serve.py): stdlib PNG encoder, grid
+tiler, padded static-batch SampleServer, and the HTTP front end."""
+
+import json
+import struct
+import threading
+import urllib.request
+import zlib
+
+import numpy as np
+import pytest
+
+from generative_models_tpu.serve import (
+    SampleServer,
+    _http_serve,
+    png_encode,
+    tile_grid,
+)
+
+
+def _decode_png_gray(data):
+    assert data[:8] == b'\x89PNG\r\n\x1a\n'
+    w, h = struct.unpack('>II', data[16:24])
+    bitdepth, color = data[24], data[25]
+    assert (bitdepth, color) == (8, 0)
+    # concatenate IDAT chunks
+    idat, pos = b'', 8
+    while pos < len(data):
+        (ln,) = struct.unpack('>I', data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if tag == b'IDAT':
+            idat += data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = []
+    stride = w + 1
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        assert line[0] == 0  # filter: None
+        rows.append(np.frombuffer(line[1:], np.uint8))
+    return np.stack(rows)
+
+
+def test_png_encode_roundtrip():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (13, 17), np.uint8)
+    assert np.array_equal(_decode_png_gray(png_encode(img)), img)
+    # (H, W, 1) squeezes to grayscale
+    assert np.array_equal(_decode_png_gray(png_encode(img[..., None])), img)
+    with pytest.raises(ValueError):
+        png_encode(img.astype(np.float32))
+
+
+def test_tile_grid_pads_last_row():
+    x = np.ones((5, 4, 4, 1), np.float32)
+    g = tile_grid(x)  # 5 -> 3x2 grid
+    assert g.shape == (8, 12, 1) and g.dtype == np.uint8
+    assert g[:4, :4, 0].min() == 255  # first tile filled
+    assert g[4:, 8:, 0].max() == 0  # padded sixth slot is black
+
+
+@pytest.fixture(scope='module')
+def made_server():
+    from generative_models_tpu.models.made import MADE
+    from generative_models_tpu.utils.config import global_defaults
+
+    G = global_defaults()
+    G.model = 'made'
+    G.bs = 8
+    G.hidden_size = 32
+    srv = SampleServer(MADE(G), serve_bs=4)
+    srv.warm()
+    return srv
+
+
+def test_sample_server_pads_and_slices(made_server):
+    assert made_server.warm_sec is not None
+    out = made_server.sample(3)
+    assert out.shape == (3, 28, 28, 1)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    # n > serve_bs clamps to the compiled batch
+    assert made_server.sample(99).shape == (4, 28, 28, 1)
+    st = made_server.stats()
+    assert st['requests'] == 2 and st['latency_p50_sec'] > 0
+
+
+def test_http_endpoints(made_server):
+    httpd = _http_serve(made_server, 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f'http://127.0.0.1:{port}/healthz') as r:
+            health = json.loads(r.read())
+        assert health['model'] == 'made' and health['serve_bs'] == 4
+        with urllib.request.urlopen(
+            f'http://127.0.0.1:{port}/sample?n=4'
+        ) as r:
+            png = r.read()
+        img = _decode_png_gray(png)
+        assert img.shape == (2 * 28, 2 * 28)
+        with urllib.request.urlopen(f'http://127.0.0.1:{port}/nope') as r:
+            pass
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    finally:
+        httpd.shutdown()
