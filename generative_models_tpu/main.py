@@ -38,7 +38,9 @@ from generative_models_tpu.utils import (
     prefix_dict,
     to_numpy,
 )
-from generative_models_tpu.utils.config import parse_args
+from generative_models_tpu.utils.config import (
+    maybe_enable_compile_cache, parse_args,
+)
 
 TOTAL_HEAVY_SAMPLES = 500  # reference: gms/main.py:101
 
@@ -82,6 +84,7 @@ def load_model_and_data(argv=None):
                 f'--device={G.device} requested but this process is using '
                 f'the {jax.default_backend()} backend'
             )
+    maybe_enable_compile_cache(G)
     set_mesh(make_mesh(G.get('mesh', '')))
     G.logdir = Path(G.logdir)
     model = Model(G=G)

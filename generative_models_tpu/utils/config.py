@@ -81,7 +81,22 @@ def global_defaults():
     # (jax.checkpoint): ~1/3 more FLOPs for O(depth) less activation HBM;
     # honored by pixel_transformer (incl. pipe/ring paths) + diffusion UNet
     DG.ckpt = 'flax'          # checkpoint backend: 'flax' bytes | 'orbax'
+    DG.compile_cache = ''     # persistent XLA compile-cache dir ('' = off):
+    # re-runs reload compiled executables from disk instead of recompiling
     return DG
+
+
+def maybe_enable_compile_cache(G):
+    """--compile_cache=DIR: persistent XLA compilation cache. The first jit
+    of each model costs 20-40s on TPU; later runs/restarts reload the
+    compiled executable from disk (keyed on HLO + compiler version).
+    Measured win in docs/PERF.md. Used by both the training CLI (main.py)
+    and the serving path (serve.py)."""
+    if str(G.get('compile_cache', '')):
+        import jax
+
+        jax.config.update('jax_compilation_cache_dir', str(G.compile_cache))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
 def parse_args(argv=None, discover_models=None, DG=None):
