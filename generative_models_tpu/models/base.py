@@ -210,6 +210,23 @@ class GM:
         samp = self.sample(n) if y is None else self.sample(n, y=y)
         return samp[0] if isinstance(samp, tuple) else samp
 
+    def pure_serving_fn(self, n):
+        """jitted (raw_key) -> (n, H, W, 1) samples, closed over the CURRENT
+        state — the jax.export target for `serve.py --export` (the
+        TPU-native analog of the reference's TorchScript deployment,
+        gms/common.py:204-208, applied to the zoo itself: the serialized
+        StableHLO artifact runs without any model code). raw_key is
+        jax.random.key_data(key), so the artifact's input signature is a
+        plain uint32 array rather than an opaque typed key."""
+        state = self.state
+
+        def fn(raw_key):
+            rng = jax.random.wrap_key_data(raw_key)
+            out = self.sample_fn(state, n, rng)
+            return out[0] if isinstance(out, tuple) else out
+
+        return jax.jit(fn)
+
     EVAL_RNG_TAG = 0x7FFFFFFF  # fold_in tag reserved for eval passes
 
     def loss_metrics_fn(self, state, x, y):
@@ -342,6 +359,17 @@ class Autoreg(GM):
         # with_frames=False skips the (T, n, H, W, 1) sampling-video stack
         # (~150 MB HBM at T=784, n=64) that bulk eval would discard unseen
         return self._jit_sample(self.state, n, self.next_rng(), False)
+
+    def pure_serving_fn(self, n):
+        """Autoreg sample_fn takes (state, n, rng, with_frames); serve the
+        frameless path (see GM.pure_serving_fn for the export contract)."""
+        state = self.state
+
+        def fn(raw_key):
+            rng = jax.random.wrap_key_data(raw_key)
+            return self.sample_fn(state, n, rng, False)
+
+        return jax.jit(fn)
 
 
 class Arbiter(GM):

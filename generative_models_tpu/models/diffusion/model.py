@@ -253,6 +253,17 @@ class DiffusionModel(GM):
         y = jnp.asarray(y, jnp.int32)
         return self._jit_sample(self.state, n, y, self.next_rng())
 
+    def pure_serving_fn(self, n):
+        """Conditional serving export: (raw_key, y) -> samples (y = -1 for
+        unconditional; see GM.pure_serving_fn for the export contract)."""
+        state = self.state
+
+        def fn(raw_key, y):
+            rng = jax.random.wrap_key_data(raw_key)
+            return self.sample_fn(state, n, y, rng)
+
+        return jax.jit(fn)
+
     def evaluate(self, writer, x, y, epoch):
         """Seeded 25-sample grid + z / x_hat / eps_hat chain videos
         (reference diffusion_model.py:89-111)."""

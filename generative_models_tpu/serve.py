@@ -25,6 +25,15 @@ TPU-native serving shape:
 Checkpoint format is the training artifact (model.pt flax bytes or an
 orbax_state dir) plus its sibling hps.yaml — the same --weights_from
 round-trip the training CLI uses (reference: gms/main.py:55-64).
+
+Deployment artifacts: `--export=path` serializes the warmed serving graph
+to a standalone StableHLO artifact via jax.export (params baked in;
+input = raw uint32 PRNG key [+ labels]); `--from_export=path` serves that
+artifact with NO model code — the TPU-native analog of the reference's
+TorchScript `model.jit.pt` flow (gms/common.py:204-208), extended from
+its two arbiters to the whole zoo. Artifacts are lowered for the platform
+that exported them (TPU artifacts serve on TPU, CPU on CPU) — jax.export
+records the lowering platform and refuses mismatched execution.
 """
 
 import json
@@ -154,6 +163,94 @@ class SampleServer:
             'latency_p90_sec': pick(0.90),
         }
 
+    def export_serving(self, path):
+        """Serialize the serving graph to a standalone StableHLO artifact
+        (jax.export): params baked in as constants, input = a raw uint32
+        PRNG key (+ labels for conditional models), output = the sample
+        batch. The artifact reloads and runs WITHOUT any model code
+        (ExportedServer) — the TPU-native analog of the reference's
+        TorchScript `model.jit.pt` deployment (gms/common.py:204-208)."""
+        import jax
+        from jax import export as jexport
+
+        fn = self.model.pure_serving_fn(self.serve_bs)
+        raw = jax.random.key_data(jax.random.key(0))
+        if self.class_cond:
+            import jax.numpy as jnp
+
+            args = (raw, -jnp.ones((self.serve_bs,), jnp.int32))
+        else:
+            args = (raw,)
+        data = jexport.export(fn)(*args).serialize()
+        Path(path).write_bytes(data)
+        return len(data)
+
+
+class ExportedServer:
+    """Serve a jax.export artifact written by SampleServer.export_serving —
+    no model class, no params file, no config: the artifact is the model.
+    Same sample()/stats()/warm() surface as SampleServer, so the HTTP front
+    and the one-shot path work unchanged."""
+
+    def __init__(self, path):
+        from jax import export as jexport
+
+        self.path = str(path)
+        self.exp = jexport.deserialize(Path(path).read_bytes())
+        self.class_cond = len(self.exp.in_avals) > 1
+        self.serve_bs = int(self.exp.out_avals[0].shape[0])
+        self._lock = threading.Lock()
+        self._counter = 0
+        self.latencies = []
+        self.warm_sec = None
+
+    def warm(self):
+        t0 = time.time()
+        np.asarray(self._run(0, None))
+        self.warm_sec = time.time() - t0
+        return self.warm_sec
+
+    def _run(self, seed, y):
+        import jax
+        import jax.numpy as jnp
+
+        raw = jax.random.key_data(jax.random.key(seed))
+        if not self.class_cond:
+            return self.exp.call(raw)
+        full = -np.ones((self.serve_bs,), np.int32)
+        if y is not None:
+            y = np.asarray(y, np.int32).reshape(-1)
+            full[: len(y)] = y[: self.serve_bs]
+        return self.exp.call(raw, jnp.asarray(full))
+
+    def sample(self, n, y=None):
+        n = max(1, min(int(n), self.serve_bs))
+        if y is not None:
+            y = np.asarray(y, np.int32).reshape(-1)
+            if len(y) == 1:
+                y = np.repeat(y, n)
+        with self._lock:
+            self._counter += 1
+            t0 = time.time()
+            out = np.asarray(self._run(self._counter, y))
+            self.latencies.append(time.time() - t0)
+            if len(self.latencies) > 1000:
+                del self.latencies[:-1000]
+        return out[:n]
+
+    def stats(self):
+        lat = sorted(self.latencies)
+        pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))] if lat else None
+        return {
+            'model': f'exported:{self.path}',
+            'serve_bs': self.serve_bs,
+            'class_cond': self.class_cond,
+            'requests': len(self.latencies),
+            'warm_sec': self.warm_sec,
+            'latency_p50_sec': pick(0.50),
+            'latency_p90_sec': pick(0.90),
+        }
+
 
 def _http_serve(server, port):
     """stdlib HTTP front: GET /healthz (JSON), GET /sample?n=16&y=3 (PNG)."""
@@ -210,8 +307,12 @@ def load_server(argv=None):
     DG.port = 0       # >0: run the HTTP server
     DG.n = 25         # one-shot sample count
     DG.out = Path('samples.png')
+    DG.export = ''       # write a jax.export artifact here and exit
+    DG.from_export = ''  # serve a jax.export artifact (no model build)
     G, Model = parse_args(argv, discover_models=discover_models, DG=DG)
     maybe_enable_compile_cache(G)
+    if str(G.from_export):
+        return ExportedServer(G.from_export), G
     set_mesh(make_mesh(G.get('mesh', '')))
     model = Model(G=G)
     if G.weights_from != Path('.'):
@@ -222,6 +323,10 @@ def load_server(argv=None):
 
 def main(argv=None):
     server, G = load_server(argv)
+    if str(G.get('export', '')):
+        nbytes = server.export_serving(G.export)
+        print(f'exported serving artifact: {G.export} ({nbytes} bytes)')
+        return
     print(f'warming {G.model} serve_bs={server.serve_bs} ...', flush=True)
     warm = server.warm()
     print(f'warm in {warm:.2f}s', flush=True)
