@@ -158,6 +158,15 @@ def bench_model(name, extra, rng):
             extra['ddpm_sample64_sec'] = timeit(
                 lambda: model.sample(64, y=yy), n=2, warmup=1
             )
+            # serving path (serve.py SampleServer): pad-to-serve_bs request
+            # latency through the same compiled graph the server uses
+            from generative_models_tpu.serve import SampleServer
+
+            srv = SampleServer(model, serve_bs=64)
+            srv.warm()
+            for _ in range(3):
+                srv.sample(64)
+            extra['serving_sample64_p50_sec'] = srv.stats()['latency_p50_sec']
         else:
             extra[f'{name}_sample25_sec'] = timeit(
                 lambda: model.sample(25), n=2, warmup=1

@@ -156,3 +156,23 @@ def test_export_conditional_diffusion(tmp_path):
     assert exp.class_cond and exp.serve_bs == 4
     out = exp.sample(2, y=[3])
     assert out.shape == (2, 28, 28, 1)
+
+
+def test_serve_cli_one_shot(tmp_path):
+    """The real serve CLI end-to-end (main(argv)): one-shot PNG grid from
+    an untrained tiny model."""
+    from generative_models_tpu.serve import main
+
+    out = tmp_path / 'grid.png'
+    main(
+        [
+            '--model=made',
+            '--hidden_size=32',
+            '--serve_bs=4',
+            '--n=4',
+            f'--out={out}',
+        ]
+    )
+    data = out.read_bytes()
+    assert data[:8] == b'\x89PNG\r\n\x1a\n'
+    assert _decode_png_gray(data).shape == (2 * 28, 2 * 28)
