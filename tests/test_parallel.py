@@ -281,3 +281,30 @@ def test_fsdp_composes_with_tp_rules():
     # default min_size: small leaves replicated
     placed2 = fsdp_place(tree, (), mesh=mesh)
     assert tuple(placed2['block0']['ln']['scale'].sharding.spec) == ()
+
+
+def test_fsdp_epoch_scan_matches_single_device():
+    """--fsdp through the DEFAULT harness path (--jit_epoch: whole epoch as
+    one lax.scan inside jit) — sharded params + moments must survive the
+    scan carry and reproduce single-device numerics."""
+    from generative_models_tpu.models.made import MADE
+    from generative_models_tpu.utils.config import global_defaults
+
+    def G(fsdp):
+        g = global_defaults()
+        g.bs = 16
+        g.hidden_size = 128
+        g.fsdp = fsdp
+        return g
+
+    rng = np.random.RandomState(5)
+    bx = jnp.asarray((rng.rand(4, 16, 28, 28, 1) > 0.5).astype(np.float32))
+    by = jnp.zeros((4, 16), jnp.int32)
+    set_mesh(make_mesh('', jax.devices()))
+    met = MADE(G(1)).train_epoch(bx, by)
+    set_mesh(make_mesh('', jax.devices()[:1]))
+    ref = MADE(G(0)).train_epoch(bx, by)
+    set_mesh(make_mesh('', jax.devices()))
+    np.testing.assert_allclose(
+        float(met['nlogp']), float(ref['nlogp']), rtol=1e-4
+    )
