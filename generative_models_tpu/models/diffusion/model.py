@@ -255,13 +255,19 @@ class DiffusionModel(GM):
 
     def pure_serving_fn(self, n):
         """Conditional serving export: (raw_key, y) -> samples (y = -1 for
-        unconditional; see GM.pure_serving_fn for the export contract)."""
+        unconditional). With --class_cond=0 the exported signature is
+        (raw_key) alone, matching SampleServer.export_serving's calling
+        convention (see GM.pure_serving_fn for the export contract)."""
         state = self.state
 
         def fn(raw_key, y):
             rng = jax.random.wrap_key_data(raw_key)
             return self.sample_fn(state, n, y, rng)
 
+        if not self.G.get('class_cond', 0):
+            return jax.jit(
+                lambda raw_key: fn(raw_key, -jnp.ones((n,), jnp.int32))
+            )
         return jax.jit(fn)
 
     def evaluate(self, writer, x, y, epoch):

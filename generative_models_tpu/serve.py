@@ -79,22 +79,94 @@ def png_encode(img):
 
 def tile_grid(x, cols=None):
     """(n, H, W, C) float [0,1] -> uint8 (rows*H, cols*W, C) grid, zero-
-    padding the last row."""
+    padding the last row (tiling delegated to utils/logger.py::grid_image)."""
+    from generative_models_tpu.utils.logger import grid_image
+
     x = np.asarray(x, np.float32)
     n, h, w, c = x.shape
     cols = cols or int(np.ceil(np.sqrt(n)))
     rows = int(np.ceil(n / cols))
     canvas = np.zeros((rows * cols, h, w, c), np.float32)
     canvas[:n] = x
-    grid = (
-        canvas.reshape(rows, cols, h, w, c)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(rows * h, cols * w, c)
-    )
+    grid = grid_image(canvas, rows, cols)
     return (np.clip(grid, 0.0, 1.0) * 255).astype(np.uint8)
 
 
-class SampleServer:
+class _ServerBase:
+    """Shared serving mechanics: pad-to-serve_bs label handling, the
+    request lock (the chip is a single stream), rolling latency stats.
+    Subclasses set .serve_bs/.class_cond and implement _run(seed, y_full)
+    plus the 'model' field of stats()."""
+
+    def _init_serving(self, serve_bs, class_cond):
+        self.serve_bs = int(serve_bs)
+        self.class_cond = bool(class_cond)
+        self._lock = threading.Lock()
+        self._requests = 0
+        self.latencies = []
+        self.warm_sec = None
+
+    def warm(self):
+        """Compile/load + run the serving graph once so request #1 is
+        fast."""
+        t0 = time.time()
+        np.asarray(self._run(0, self._pad_y(None, self.serve_bs)))
+        self.warm_sec = time.time() - t0
+        return self.warm_sec
+
+    def _pad_y(self, y, n):
+        """Labels for the full compiled batch: -1 (= unconditional) padding
+        beyond the request's n. A single label broadcasts to n; otherwise
+        len(y) must equal n — silent partial conditioning is refused."""
+        if not self.class_cond:
+            if y is not None:
+                raise ValueError('this server is unconditional; got y')
+            return None
+        full = -np.ones((self.serve_bs,), np.int32)
+        if y is not None:
+            y = np.asarray(y, np.int32).reshape(-1)
+            if len(y) == 1:
+                y = np.repeat(y, n)
+            if len(y) != n:
+                raise ValueError(f'len(y)={len(y)} must be 1 or n={n}')
+            full[:n] = y
+        return full
+
+    def sample(self, n, y=None):
+        """n samples (optional labels y: one value broadcast to n, or
+        exactly n values) -> (n, H, W, 1) float array in [0, 1]."""
+        n = max(1, min(int(n), self.serve_bs))
+        y_full = self._pad_y(y, n)
+        with self._lock:
+            self._requests += 1
+            t0 = time.time()
+            out = np.asarray(self._run(self._requests, y_full))
+            self.latencies.append(time.time() - t0)
+            if len(self.latencies) > 1000:
+                del self.latencies[:-1000]
+        return out[:n]
+
+    def _model_name(self):
+        raise NotImplementedError
+
+    def _run(self, seed, y_full):
+        raise NotImplementedError
+
+    def stats(self):
+        lat = sorted(self.latencies)
+        pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))] if lat else None
+        return {
+            'model': self._model_name(),
+            'serve_bs': self.serve_bs,
+            'class_cond': self.class_cond,
+            'requests': self._requests,
+            'warm_sec': self.warm_sec,
+            'latency_p50_sec': pick(0.50),
+            'latency_p90_sec': pick(0.90),
+        }
+
+
+class SampleServer(_ServerBase):
     """Owns the model + the one compiled sampling executable.
 
     Every request pads to serve_bs, runs the SAME jitted graph, slices to
@@ -103,65 +175,18 @@ class SampleServer:
 
     def __init__(self, model, serve_bs=64):
         self.model = model
-        self.serve_bs = int(serve_bs)
-        self.class_cond = bool(model.G.get('class_cond', 0))
-        self._lock = threading.Lock()
-        self.latencies = []
-        self.warm_sec = None
+        self._init_serving(serve_bs, model.G.get('class_cond', 0))
 
-    def warm(self):
-        """Compile + run the serving graph once so request #1 is fast."""
-        t0 = time.time()
-        out = self._run(self._pad_y(None))
-        np.asarray(out)  # block
-        self.warm_sec = time.time() - t0
-        return self.warm_sec
+    def _model_name(self):
+        return self.model.G.model
 
-    def _pad_y(self, y):
-        if not self.class_cond:
-            return None
-        full = -np.ones((self.serve_bs,), np.int32)  # -1 = unconditional
-        if y is not None:
-            y = np.asarray(y, np.int32).reshape(-1)
-            full[: len(y)] = y[: self.serve_bs]
+    def _run(self, seed, y_full):
+        # the model advances its own RNG per call; seed is unused here
+        if y_full is None:
+            return self.model.sample_images(self.serve_bs)
         import jax.numpy as jnp
 
-        return jnp.asarray(full)
-
-    def _run(self, y):
-        if y is None:
-            return self.model.sample_images(self.serve_bs)
-        return self.model.sample_images(self.serve_bs, y=y)
-
-    def sample(self, n, y=None):
-        """n samples (optionally class labels y, broadcast/truncated to n)
-        -> (n, H, W, 1) float array in [0, 1]."""
-        n = max(1, min(int(n), self.serve_bs))
-        if y is not None:
-            y = np.asarray(y, np.int32).reshape(-1)
-            if len(y) == 1:
-                y = np.repeat(y, n)
-        with self._lock:
-            t0 = time.time()
-            out = np.asarray(self._run(self._pad_y(y)))
-            dt = time.time() - t0
-            self.latencies.append(dt)
-            if len(self.latencies) > 1000:
-                del self.latencies[:-1000]
-        return out[:n]
-
-    def stats(self):
-        lat = sorted(self.latencies)
-        pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))] if lat else None
-        return {
-            'model': self.model.G.model,
-            'serve_bs': self.serve_bs,
-            'class_cond': self.class_cond,
-            'requests': len(self.latencies),
-            'warm_sec': self.warm_sec,
-            'latency_p50_sec': pick(0.50),
-            'latency_p90_sec': pick(0.90),
-        }
+        return self.model.sample_images(self.serve_bs, y=jnp.asarray(y_full))
 
     def export_serving(self, path):
         """Serialize the serving graph to a standalone StableHLO artifact
@@ -186,74 +211,43 @@ class SampleServer:
         return len(data)
 
 
-class ExportedServer:
+class ExportedServer(_ServerBase):
     """Serve a jax.export artifact written by SampleServer.export_serving —
     no model class, no params file, no config: the artifact is the model.
     Same sample()/stats()/warm() surface as SampleServer, so the HTTP front
     and the one-shot path work unchanged."""
 
     def __init__(self, path):
+        import os
+
         from jax import export as jexport
 
         self.path = str(path)
         self.exp = jexport.deserialize(Path(path).read_bytes())
-        self.class_cond = len(self.exp.in_avals) > 1
-        self.serve_bs = int(self.exp.out_avals[0].shape[0])
-        self._lock = threading.Lock()
-        self._counter = 0
-        self.latencies = []
-        self.warm_sec = None
+        self._init_serving(
+            int(self.exp.out_avals[0].shape[0]), len(self.exp.in_avals) > 1
+        )
+        # the artifact is a pure fn of the key: salt the per-request seed so
+        # restarts/replicas don't replay the same sample stream
+        self._salt = int.from_bytes(os.urandom(4), 'little')
 
-    def warm(self):
-        t0 = time.time()
-        np.asarray(self._run(0, None))
-        self.warm_sec = time.time() - t0
-        return self.warm_sec
+    def _model_name(self):
+        return f'exported:{self.path}'
 
-    def _run(self, seed, y):
+    def _run(self, seed, y_full):
         import jax
         import jax.numpy as jnp
 
-        raw = jax.random.key_data(jax.random.key(seed))
-        if not self.class_cond:
+        raw = jax.random.key_data(jax.random.key(self._salt + seed))
+        if y_full is None:
             return self.exp.call(raw)
-        full = -np.ones((self.serve_bs,), np.int32)
-        if y is not None:
-            y = np.asarray(y, np.int32).reshape(-1)
-            full[: len(y)] = y[: self.serve_bs]
-        return self.exp.call(raw, jnp.asarray(full))
-
-    def sample(self, n, y=None):
-        n = max(1, min(int(n), self.serve_bs))
-        if y is not None:
-            y = np.asarray(y, np.int32).reshape(-1)
-            if len(y) == 1:
-                y = np.repeat(y, n)
-        with self._lock:
-            self._counter += 1
-            t0 = time.time()
-            out = np.asarray(self._run(self._counter, y))
-            self.latencies.append(time.time() - t0)
-            if len(self.latencies) > 1000:
-                del self.latencies[:-1000]
-        return out[:n]
-
-    def stats(self):
-        lat = sorted(self.latencies)
-        pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))] if lat else None
-        return {
-            'model': f'exported:{self.path}',
-            'serve_bs': self.serve_bs,
-            'class_cond': self.class_cond,
-            'requests': len(self.latencies),
-            'warm_sec': self.warm_sec,
-            'latency_p50_sec': pick(0.50),
-            'latency_p90_sec': pick(0.90),
-        }
+        return self.exp.call(raw, jnp.asarray(y_full))
 
 
-def _http_serve(server, port):
-    """stdlib HTTP front: GET /healthz (JSON), GET /sample?n=16&y=3 (PNG)."""
+def _http_serve(server, port, host='127.0.0.1'):
+    """stdlib HTTP front: GET /healthz (JSON), GET /sample?n=16&y=3 (PNG).
+    Binds localhost by default (there is no auth; each request holds the
+    chip for a full sampling pass) — pass --host=0.0.0.0 to expose."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
@@ -284,12 +278,15 @@ def _http_serve(server, port):
                     )
                 except ValueError:
                     return self._send(400, 'text/plain', b'bad n/y')
-                imgs = server.sample(n, y=y)
+                try:
+                    imgs = server.sample(n, y=y)
+                except ValueError as e:
+                    return self._send(400, 'text/plain', str(e).encode())
                 png = png_encode(tile_grid(imgs))
                 return self._send(200, 'image/png', png)
             return self._send(404, 'text/plain', b'try /healthz or /sample')
 
-    httpd = ThreadingHTTPServer(('0.0.0.0', port), Handler)
+    httpd = ThreadingHTTPServer((host, port), Handler)
     return httpd
 
 
@@ -305,6 +302,7 @@ def load_server(argv=None):
     DG = global_defaults()
     DG.serve_bs = 64
     DG.port = 0       # >0: run the HTTP server
+    DG.host = '127.0.0.1'  # HTTP bind address (0.0.0.0 to expose; no auth)
     DG.n = 25         # one-shot sample count
     DG.out = Path('samples.png')
     DG.export = ''       # write a jax.export artifact here and exit
@@ -312,6 +310,11 @@ def load_server(argv=None):
     G, Model = parse_args(argv, discover_models=discover_models, DG=DG)
     maybe_enable_compile_cache(G)
     if str(G.from_export):
+        if str(G.get('export', '')):
+            raise SystemExit(
+                '--from_export serves an existing artifact; it cannot be '
+                'combined with --export (which needs a model to trace)'
+            )
         return ExportedServer(G.from_export), G
     set_mesh(make_mesh(G.get('mesh', '')))
     model = Model(G=G)
@@ -331,8 +334,8 @@ def main(argv=None):
     warm = server.warm()
     print(f'warm in {warm:.2f}s', flush=True)
     if int(G.port) > 0:
-        httpd = _http_serve(server, int(G.port))
-        print(f'serving on :{G.port} (/healthz, /sample?n=16&y=3)', flush=True)
+        httpd = _http_serve(server, int(G.port), host=str(G.get('host', '127.0.0.1')))
+        print(f'serving on {G.host}:{G.port} (/healthz, /sample?n=16&y=3)', flush=True)
         httpd.serve_forever()
         return
     imgs = server.sample(int(G.n))

@@ -176,3 +176,54 @@ def test_serve_cli_one_shot(tmp_path):
     data = out.read_bytes()
     assert data[:8] == b'\x89PNG\r\n\x1a\n'
     assert _decode_png_gray(data).shape == (2 * 28, 2 * 28)
+
+
+def test_partial_labels_refused(made_server):
+    """1 < len(y) < n is refused (silent partial conditioning would return
+    half-unconditional grids), and unconditional servers refuse y."""
+    with pytest.raises(ValueError):
+        made_server.sample(4, y=[1, 2])  # made is unconditional: refuses y
+    from generative_models_tpu.serve import _ServerBase
+
+    class Fake(_ServerBase):
+        def __init__(self):
+            self._init_serving(8, True)
+
+    with pytest.raises(ValueError, match='must be 1 or n'):
+        Fake()._pad_y([1, 2, 3], 5)
+    # broadcast and exact-length forms are fine
+    assert list(Fake()._pad_y([7], 3)[:3]) == [7, 7, 7]
+    assert list(Fake()._pad_y([1, 2, 3], 3)[:3]) == [1, 2, 3]
+
+
+def test_unconditional_diffusion_export(tmp_path):
+    """--class_cond=0 diffusion exports with a (raw_key)-only signature
+    (regression: it used to crash with a missing-y TypeError)."""
+    from generative_models_tpu.models.diffusion.model import DiffusionModel
+    from generative_models_tpu.serve import ExportedServer, SampleServer
+    from generative_models_tpu.utils.config import global_defaults
+
+    G = global_defaults()
+    G.model = 'diffusion_model'
+    for k, v in DiffusionModel.DG.items():
+        G[k] = v
+    G.bs = 4
+    G.hidden_size = 16
+    G.timesteps = 4
+    G.bf16 = 0
+    G.class_cond = 0
+    srv = SampleServer(DiffusionModel(G), serve_bs=4)
+    p = tmp_path / 'diff_uncond.stablehlo'
+    srv.export_serving(p)
+    exp = ExportedServer(p)
+    assert not exp.class_cond
+    assert exp.sample(2).shape == (2, 28, 28, 1)
+
+
+def test_from_export_plus_export_is_refused(tmp_path):
+    from generative_models_tpu.serve import load_server
+
+    with pytest.raises(SystemExit, match='cannot be combined'):
+        load_server(
+            ['--from_export=/nonexistent.hlo', '--export=/tmp/x.hlo']
+        )
