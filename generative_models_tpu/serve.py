@@ -99,10 +99,15 @@ class _ServerBase:
     plus the 'model' field of stats()."""
 
     def _init_serving(self, serve_bs, class_cond):
+        import os
+
         self.serve_bs = int(serve_bs)
         self.class_cond = bool(class_cond)
         self._lock = threading.Lock()
         self._requests = 0
+        # unseeded requests draw from a urandom-salted stream so restarts
+        # and replicas never replay the same samples
+        self._salt = int.from_bytes(os.urandom(4), 'little')
         self.latencies = []
         self.warm_sec = None
 
@@ -132,15 +137,20 @@ class _ServerBase:
             full[:n] = y
         return full
 
-    def sample(self, n, y=None):
+    def sample(self, n, y=None, seed=None):
         """n samples (optional labels y: one value broadcast to n, or
-        exactly n values) -> (n, H, W, 1) float array in [0, 1]."""
+        exactly n values) -> (n, H, W, 1) float array in [0, 1]. With an
+        explicit seed the request is REPRODUCIBLE (same seed, same labels
+        -> bitwise-same batch, live or exported); without one, requests
+        draw from a urandom-salted stream that never replays across
+        restarts or replicas."""
         n = max(1, min(int(n), self.serve_bs))
         y_full = self._pad_y(y, n)
         with self._lock:
             self._requests += 1
+            s = int(seed) if seed is not None else self._salt + self._requests
             t0 = time.time()
-            out = np.asarray(self._run(self._requests, y_full))
+            out = np.asarray(self._run(s, y_full))
             self.latencies.append(time.time() - t0)
             if len(self.latencies) > 1000:
                 del self.latencies[:-1000]
@@ -150,7 +160,15 @@ class _ServerBase:
         raise NotImplementedError
 
     def _run(self, seed, y_full):
-        raise NotImplementedError
+        """Call the pure serving fn at jax.random.key(seed)."""
+        import jax
+
+        raw = jax.random.key_data(jax.random.key(seed))
+        if y_full is None:
+            return self._call(raw)
+        import jax.numpy as jnp
+
+        return self._call(raw, jnp.asarray(y_full))
 
     def stats(self):
         lat = sorted(self.latencies)
@@ -170,23 +188,19 @@ class SampleServer(_ServerBase):
     """Owns the model + the one compiled sampling executable.
 
     Every request pads to serve_bs, runs the SAME jitted graph, slices to
-    n. Thread-safe: the chip is a single stream, so requests serialize
-    through a lock; latency stats accumulate under the same lock."""
+    n. The graph is the model's pure_serving_fn — the very fn --export
+    serializes — so a live server and its exported artifact produce
+    bitwise-identical batches at the same seed. Thread-safe: the chip is a
+    single stream, so requests serialize through a lock; latency stats
+    accumulate under the same lock."""
 
     def __init__(self, model, serve_bs=64):
         self.model = model
         self._init_serving(serve_bs, model.G.get('class_cond', 0))
+        self._call = model.pure_serving_fn(self.serve_bs)
 
     def _model_name(self):
         return self.model.G.model
-
-    def _run(self, seed, y_full):
-        # the model advances its own RNG per call; seed is unused here
-        if y_full is None:
-            return self.model.sample_images(self.serve_bs)
-        import jax.numpy as jnp
-
-        return self.model.sample_images(self.serve_bs, y=jnp.asarray(y_full))
 
     def export_serving(self, path):
         """Serialize the serving graph to a standalone StableHLO artifact
@@ -218,8 +232,6 @@ class ExportedServer(_ServerBase):
     and the one-shot path work unchanged."""
 
     def __init__(self, path):
-        import os
-
         from jax import export as jexport
 
         self.path = str(path)
@@ -227,21 +239,10 @@ class ExportedServer(_ServerBase):
         self._init_serving(
             int(self.exp.out_avals[0].shape[0]), len(self.exp.in_avals) > 1
         )
-        # the artifact is a pure fn of the key: salt the per-request seed so
-        # restarts/replicas don't replay the same sample stream
-        self._salt = int.from_bytes(os.urandom(4), 'little')
+        self._call = self.exp.call
 
     def _model_name(self):
         return f'exported:{self.path}'
-
-    def _run(self, seed, y_full):
-        import jax
-        import jax.numpy as jnp
-
-        raw = jax.random.key_data(jax.random.key(self._salt + seed))
-        if y_full is None:
-            return self.exp.call(raw)
-        return self.exp.call(raw, jnp.asarray(y_full))
 
 
 def _http_serve(server, port, host='127.0.0.1'):
@@ -271,15 +272,16 @@ def _http_serve(server, port, host='127.0.0.1'):
                 q = parse_qs(url.query)
                 try:
                     n = int(q.get('n', ['25'])[0])
+                    seed = int(q['seed'][0]) if 'seed' in q else None
                     y = (
                         [int(v) for v in q['y'][0].split(',')]
                         if 'y' in q
                         else None
                     )
                 except ValueError:
-                    return self._send(400, 'text/plain', b'bad n/y')
+                    return self._send(400, 'text/plain', b'bad n/y/seed')
                 try:
-                    imgs = server.sample(n, y=y)
+                    imgs = server.sample(n, y=y, seed=seed)
                 except ValueError as e:
                     return self._send(400, 'text/plain', str(e).encode())
                 png = png_encode(tile_grid(imgs))

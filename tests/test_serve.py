@@ -227,3 +227,25 @@ def test_from_export_plus_export_is_refused(tmp_path):
         load_server(
             ['--from_export=/nonexistent.hlo', '--export=/tmp/x.hlo']
         )
+
+
+def test_seeded_requests_reproduce_live_equals_exported(made_server, tmp_path):
+    """?seed= requests are reproducible, and the live server and its
+    exported artifact return bitwise-identical batches at the same seed
+    (both run the same pure_serving_fn)."""
+    from generative_models_tpu.serve import ExportedServer
+
+    a = made_server.sample(4, seed=123)
+    b = made_server.sample(4, seed=123)
+    np.testing.assert_array_equal(a, b)
+    c = made_server.sample(4, seed=124)
+    assert not np.array_equal(a, c)
+    # unseeded requests differ (urandom-salted stream)
+    d = made_server.sample(4)
+    e = made_server.sample(4)
+    assert not np.array_equal(d, e)
+
+    p = tmp_path / 'made.stablehlo'
+    made_server.export_serving(p)
+    exp = ExportedServer(p)
+    np.testing.assert_array_equal(exp.sample(4, seed=123), a)
