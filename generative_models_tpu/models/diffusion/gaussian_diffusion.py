@@ -312,7 +312,13 @@ class GaussianDiffusion:
         a host Python loop, gaussian_diffusion.py:282-296). Returns stacked
         (z, x_hat, eps_hat) histories, shape (N, *init_x.shape) — or, with
         return_history=False, just the final sample batch (the serving path:
-        no per-step history ever lands in HBM)."""
+        no per-step history ever lands in HBM).
+
+        NOTE (preserved reference quirk): cond_w's VALUE is ignored — it is
+        a not-None flag enabling guidance, with per-sample weights drawn
+        w ~ U[0,4) unless self.sample_cond_w overrides them. The reference
+        has identical semantics (gaussian_diffusion.py:245-257); use
+        --sample_cond_w for a fixed guidance weight."""
         rng_w, rng_chain = jax.random.split(rng)
         net_cond_w = (
             4.0 * jax.random.uniform(rng_w, (init_x.shape[0],))

@@ -61,7 +61,7 @@ class DiffusionModel(GM):
             has_teacher=self.has_teacher,
             teacher_mode=G.teacher_mode,
             sample_cond_w=G.sample_cond_w,
-            fused_cfg=bool(G.get('fused_cfg', 1)),
+            fused_cfg=bool(G.get('fused_cfg', 0)),
         )
         super().__init__(G)
         if self.has_teacher:
@@ -241,10 +241,16 @@ class DiffusionModel(GM):
         )
 
     def sample_fn(self, state, n, y, rng):
-        # serving path: no per-step chain history is materialized
-        noise = jax.random.normal(rng, (n, self.size, self.size, 1))
+        # serving path: no per-step chain history is materialized.
+        # NOTE (preserved reference quirk): cond_w=0.5 acts only as a
+        # not-None FLAG — GaussianDiffusion.sample ignores its value and
+        # draws w ~ U[0,4) per sample unless --sample_cond_w is set,
+        # exactly like the reference (gms/diffusion/diffusion_model.py:86
+        # passing 0.5 into gaussian_diffusion.py:245-257).
+        rng_noise, rng_chain = jax.random.split(rng)
+        noise = jax.random.normal(rng_noise, (n, self.size, self.size, 1))
         return self.sample_chain_fn(
-            state, noise, y, rng, cond_w=0.5, return_history=False
+            state, noise, y, rng_chain, cond_w=0.5, return_history=False
         )
 
     def sample(self, n, y=None):
@@ -281,9 +287,20 @@ class DiffusionModel(GM):
             return v
 
         key = jax.random.key(0)  # fixed seed (reference diffusion_model.py:99)
-        noise = jax.random.normal(key, (25, self.size, self.size, 1))
+        key_noise, key_chain = jax.random.split(key)
+        noise = jax.random.normal(key_noise, (25, self.size, self.size, 1))
         labels = jnp.arange(25, dtype=jnp.int32) % 10
-        zs, xs, eps = self._jit_sample_chain(self.state, noise, labels, key)
+        # NOTE (preserved reference quirk): no cond_w is passed, so sampling
+        # here is unguided UNLESS --sample_cond_w is set (sample() applies
+        # that override regardless of the flag) — and a distilled
+        # (has_teacher) student runs with cond_w=None, i.e. without its
+        # guidance-weight embedding, exactly like the reference evaluate
+        # (gms/diffusion/diffusion_model.py:102 ->
+        # gaussian_diffusion.py:245-257). eval grids for students are
+        # therefore slightly off-distribution in both frameworks.
+        zs, xs, eps = self._jit_sample_chain(
+            self.state, noise, labels, key_chain
+        )
         zs, xs, eps = proc(zs), proc(xs), proc(eps)
         write_grid(writer, 'samples', zs[-1], epoch)
         ld = self.G.logdir

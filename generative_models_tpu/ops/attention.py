@@ -39,11 +39,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from generative_models_tpu.ops.common import on_tpu as _on_tpu
+from generative_models_tpu.ops.common import round_up as _round_up
+
 NEG_INF = -1e30
-
-
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
 
 
 def _pick_blk(T):
@@ -99,10 +98,6 @@ def _vmem_fit_group(BH, Tp, resident_f32_equiv, cap):
     return 1
 
 
-def _on_tpu():
-    return jax.default_backend() == 'tpu'
-
-
 def _in_vma(x):
     """Device-varying axis set of x's aval, or None outside check_vma-typed
     shard_map traces. pallas_call out_shapes must carry this set (e.g. when
@@ -115,13 +110,24 @@ def _in_vma(x):
 
 
 def xla_causal_attention(q, k, v, t_valid=None):
-    """Dense fallback: (B, H, T, D) -> (B, H, T, D) with tril mask."""
+    """Dense fallback: (B, H, T, D) -> (B, H, T, D) with tril mask.
+
+    t_valid (optional): number of valid (unpadded) key positions — keys at
+    index >= t_valid get no weight, matching the ring-chunk kernels'
+    tail-padding semantics (_ring_chunk_fwd_kernel above)."""
     T = q.shape[2]
     scale = 1.0 / np.sqrt(q.shape[-1])
     att = jnp.einsum('bhqd,bhkd->bhqk', q, k) * scale
     mask = jnp.tril(jnp.ones((T, T), bool))
+    if t_valid is not None:
+        mask = mask & (jnp.arange(T)[None, :] < t_valid)
     att = jnp.where(mask[None, None], att, NEG_INF)
     att = jax.nn.softmax(att, axis=-1)
+    if t_valid is not None:
+        # rows with no valid key (t_valid == 0) output 0, matching the ring
+        # kernels' online-softmax (l = 0 -> acc / max(l, eps) = 0) instead
+        # of softmax's uniform-over-NEG_INF artifact
+        att = att * mask.any(-1)[None, None, :, None]
     return jnp.einsum('bhqk,bhkd->bhqd', att, v)
 
 
@@ -827,7 +833,9 @@ def _pallas_call_4d(q, k, v):
 def _ca_fwd(q, k, v, use_pallas):
     if use_pallas:
         out, (o_pad, lse) = _pallas_call_4d(q, k, v)
-        return out, (q, k, v, o_pad, lse)
+        # match the XLA path's dtype contract (bf16 in -> bf16 out); the
+        # kernel accumulates f32 internally either way
+        return out.astype(q.dtype), (q, k, v, o_pad, lse)
     out = xla_causal_attention(q, k, v)
     return out, (q, k, v, None, None)
 
@@ -845,8 +853,9 @@ def _ca_bwd(use_pallas, res, g):
         _prep_bhtd(q, Tp, dt), _prep_bhtd(k, Tp, dt), _prep_bhtd(v, Tp, dt),
         o_pad, lse, _prep_bhtd(g, Tp, dt), scale=1.0 / np.sqrt(D), blk=blk,
     )
-    unpad = lambda x: x[:, :T].reshape(B, H, T, D)
-    return unpad(dq), unpad(dk), unpad(dv)
+    # custom_vjp contract: cotangents must match the primal avals' dtypes
+    unpad = lambda x, p: x[:, :T].reshape(B, H, T, D).astype(p.dtype)
+    return unpad(dq, q), unpad(dk, k), unpad(dv, v)
 
 
 causal_attention.defvjp(_ca_fwd, _ca_bwd)

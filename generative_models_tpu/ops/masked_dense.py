@@ -17,13 +17,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
-
-
-def _on_tpu():
-    return jax.default_backend() == 'tpu'
+from generative_models_tpu.ops.common import on_tpu as _on_tpu
+from generative_models_tpu.ops.common import round_up as _round_up
 
 
 def _masked_matmul_kernel(x_ref, w_ref, m_ref, o_ref):
@@ -60,6 +55,11 @@ def _pallas_masked_matmul(x, w, mask, *, mask_on_output=False, interpret=None):
     assert K == K2
     if interpret is None:
         interpret = not _on_tpu()
+    # bf16 matmul inputs on the real MXU (f32 accumulation via
+    # preferred_element_type), exact f32 under interpret mode so CPU tests
+    # validate the block algorithm bit-tightly — same policy as the flash
+    # attention kernels' _dots_dtype
+    dt = jnp.bfloat16 if _on_tpu() else jnp.float32
     bm = min(_round_up(B, 8), 256)
     bn = min(_round_up(N, 128), 512)
     bk = min(_round_up(K, 128), 512)
@@ -92,11 +92,13 @@ def _pallas_masked_matmul(x, w, mask, *, mask_on_output=False, interpret=None):
         ),
         out_shape=jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * Kp * Np, bytes_accessed=4 * (Bp * Kp + 2 * Kp * Np + Bp * Np),
+            flops=2 * Bp * Kp * Np,
+            bytes_accessed=dt.dtype.itemsize * (Bp * Kp + 2 * Kp * Np)
+            + 4 * Bp * Np,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp.astype(jnp.float32), wp.astype(jnp.float32), mp.astype(jnp.float32))
+    )(xp.astype(dt), wp.astype(dt), mp.astype(dt))
     return out[:B, :N]
 
 
@@ -119,7 +121,12 @@ def masked_dense(x, w, b, mask, use_pallas=True):
 
 def _apply(x2d, w, mask, use_pallas):
     if use_pallas:
-        return _pallas_masked_matmul(x2d, w, mask)
+        # match the XLA path's dtype contract: x @ (w * mask) promotes over
+        # all three operands (MADE ships f32 masks), and the kernel
+        # accumulates f32 internally either way
+        return _pallas_masked_matmul(x2d, w, mask).astype(
+            jnp.result_type(x2d, w, mask)
+        )
     return x2d @ (w * mask)
 
 
@@ -129,12 +136,13 @@ def _masked_dense_fwd(x, w, b, mask, use_pallas):
     y = _apply(x2d, w, mask, use_pallas)
     if b is not None:
         y = y + b
-    res = (x2d, w, mask, b is not None, batch_shape)
+    # b rides the residuals (it's (N,), tiny) so bwd can match its dtype
+    res = (x2d, w, mask, b, batch_shape)
     return y.reshape(*batch_shape, w.shape[-1]), res
 
 
 def _masked_dense_bwd(use_pallas, res, g):
-    x2d, w, mask, has_b, batch_shape = res
+    x2d, w, mask, b, batch_shape = res
     g2d = g.reshape(-1, g.shape[-1])
     if use_pallas:
         dx = _pallas_masked_matmul(g2d, w.T, mask.T)
@@ -142,7 +150,10 @@ def _masked_dense_bwd(use_pallas, res, g):
     else:
         dx = g2d @ (w * mask).T
         dw = mask * (x2d.T @ g2d)
-    db = g2d.sum(0) if has_b else None
+    # custom_vjp contract: cotangents must match the primal avals' dtypes
+    dx = dx.astype(x2d.dtype)
+    dw = dw.astype(w.dtype)
+    db = g2d.sum(0).astype(b.dtype) if b is not None else None
     return dx.reshape(*batch_shape, x2d.shape[-1]), dw, db, None
 
 

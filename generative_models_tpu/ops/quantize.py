@@ -16,12 +16,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
-
-
-def _on_tpu():
-    return jax.default_backend() == 'tpu'
+from generative_models_tpu.ops.common import on_tpu as _on_tpu
+from generative_models_tpu.ops.common import round_up as _round_up
 
 
 def _vq_kernel(z_ref, e_ref, oh_ref, *, k_valid):

@@ -47,11 +47,15 @@ def make_mesh(spec='', devices=None):
     return Mesh(dev_array, names)
 
 
-def get_mesh(spec=''):
-    """Process-global mesh (built lazily on first use)."""
+def get_mesh():
+    """Process-global mesh (built lazily on first use; defaults to one
+    all-'data' axis). Non-default meshes are installed up front via
+    set_mesh(make_mesh(spec)) — main.py:88, serve.py:321 — NOT here: a
+    spec parameter on the lazy getter would be silently ignored whenever
+    something (e.g. the data loader) touched the mesh first."""
     global _GLOBAL_MESH
     if _GLOBAL_MESH is None:
-        _GLOBAL_MESH = make_mesh(spec)
+        _GLOBAL_MESH = make_mesh()
     return _GLOBAL_MESH
 
 

@@ -32,11 +32,13 @@ PIPE_AXIS = 'pipe'
 def pick_n_micro(batch, n_stages):
     """Default microbatch count: the largest of {4S, 2S, S} dividing the
     batch (GPipe wants M >= S to keep the bubble fraction small), falling
-    back to the largest divisor of the batch <= batch."""
+    back to the largest divisor of the batch <= 4S — searching the full
+    range keeps e.g. batch=6, S=4 at M=6 (bubble 33%) instead of M=3
+    (bubble 50%)."""
     for m in (4 * n_stages, 2 * n_stages, n_stages):
         if m <= batch and batch % m == 0:
             return m
-    for m in range(min(batch, n_stages), 0, -1):
+    for m in range(min(batch, 4 * n_stages), 0, -1):
         if batch % m == 0:
             return m
     return 1

@@ -139,3 +139,44 @@ def test_streamed_path_with_padding_matches_dense():
     )(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_bf16_inputs_keep_dtype_through_fwd_and_grad():
+    """The Pallas path must honor the same dtype contract as the XLA path:
+    bf16 in -> bf16 out, and custom_vjp cotangents matching the primal
+    dtypes (a f32 grad against a bf16 primal is a trace-time error)."""
+    q, k, v = _qkv(T=24)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = causal_attention(qb, kb, vb, True)
+    assert out.dtype == jnp.bfloat16
+    f = lambda q, k, v: jnp.sum(causal_attention(q, k, v, True).astype(jnp.float32) ** 2)
+    gq, gk, gv = jax.grad(f, argnums=(0, 1, 2))(qb, kb, vb)
+    assert gq.dtype == gk.dtype == gv.dtype == jnp.bfloat16
+    # values still track the f32 dense path within bf16 resolution
+    ref = jax.grad(
+        lambda q, k, v: jnp.sum(xla_causal_attention(q, k, v) ** 2),
+        argnums=0,
+    )(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(gq, np.float32), np.asarray(ref), rtol=0.15, atol=0.1
+    )
+
+
+def test_xla_fallback_t_valid_masks_padded_keys():
+    """t_valid must zero out attention to padded tail keys, matching the
+    ring-chunk kernels' semantics."""
+    q, k, v = _qkv(T=16)
+    out_masked = xla_causal_attention(q, k, v, t_valid=10)
+    # garbage in the padded tail must not leak into any output row
+    k2 = k.at[:, :, 10:].add(123.0)
+    v2 = v.at[:, :, 10:].add(-77.0)
+    out_masked2 = xla_causal_attention(q, k2, v2, t_valid=10)
+    np.testing.assert_allclose(
+        np.asarray(out_masked), np.asarray(out_masked2), atol=1e-5
+    )
+    # and the first t_valid rows equal plain causal attention on the
+    # unpadded prefix
+    ref = xla_causal_attention(q[:, :, :10], k[:, :, :10], v[:, :, :10])
+    np.testing.assert_allclose(
+        np.asarray(out_masked[:, :, :10]), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )

@@ -63,3 +63,20 @@ def test_k_blocked_accumulation_path():
     g_x = jax.grad(lambda x, w: ((x @ (w * m)) + b).sum(), argnums=(0, 1))(x, w)
     for a, bb in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_inputs_keep_dtype_through_fwd_and_grad():
+    """Pallas path dtype contract: bf16 in -> bf16 out; custom_vjp
+    cotangents match primal dtypes (f32-vs-bf16 is a trace error)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 12), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(12, 8), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(8), jnp.bfloat16)
+    mask = jnp.asarray(rng.rand(12, 8) > 0.5, jnp.bfloat16)
+    y = masked_dense(x, w, b, mask, True)
+    assert y.dtype == jnp.bfloat16
+    f = lambda x, w, b: jnp.sum(
+        masked_dense(x, w, b, mask, True).astype(jnp.float32) ** 2
+    )
+    dx, dw, db = jax.grad(f, argnums=(0, 1, 2))(x, w, b)
+    assert dx.dtype == dw.dtype == db.dtype == jnp.bfloat16

@@ -144,3 +144,13 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
     # restore the default mesh for any later tests
     set_mesh(make_mesh('', jax.devices()))
+
+
+def test_pick_n_micro_searches_past_n_stages():
+    """batch=6, S=4: M=6 divides the batch and beats M=3 on bubble
+    fraction (33% vs 50%) — the fallback must search up to 4S, not S."""
+    from generative_models_tpu.parallel.pipeline import pick_n_micro
+
+    assert pick_n_micro(6, 4) == 6
+    assert pick_n_micro(64, 4) == 16
+    assert pick_n_micro(7, 4) == 7
