@@ -1,8 +1,11 @@
 test:
 	python -m pytest tests/ -x -q
 
+# ignore only the LIVE-regeneration parity suite (20+min XLA-CPU compiles);
+# the fast recorded-parity tests (test_parity_recorded.py) stay in — a -k
+# pattern like "not curve_parity" would deselect those too
 test-fast:
-	python -m pytest tests/ -x -q -k "not smoke and not parity_curves and not curve_parity"
+	python -m pytest tests/ -x -q -k "not smoke" --ignore=tests/test_parity_curves.py
 
 # the 12-model parity suite on the real chip (~15 min; on the 1-core XLA-CPU
 # fallback some conv-model jit compiles alone take 20+ min, so prefer this

@@ -202,20 +202,26 @@ def main():
             extra[f'{name}_error'] = repr(e)
             print(f'[bench] {name}: ERROR {e!r}', flush=True)
 
-    cpu_ref = _REF.get('diffusion_steps_per_sec') or 0.5
+    cpu_ref = _REF.get('diffusion_steps_per_sec')
     extra['cpu_reference_steps_per_sec'] = cpu_ref
     (_ROOT / 'BENCH_EXTRA.json').write_text(json.dumps(extra, indent=2))
 
-    print(
-        json.dumps(
-            {
-                'metric': 'diffusion_train_steps_per_sec',
-                'value': round(headline_sps or 0.0, 3),
-                'unit': 'steps/s',
-                'vs_baseline': round((headline_sps or 0.0) / cpu_ref, 2),
-            }
+    line = {
+        'metric': 'diffusion_train_steps_per_sec',
+        'value': round(headline_sps or 0.0, 3),
+        'unit': 'steps/s',
+    }
+    if cpu_ref:
+        line['vs_baseline'] = round((headline_sps or 0.0) / cpu_ref, 2)
+    else:
+        # never fabricate a denominator: a missing baseline recording is an
+        # explicit error, not a made-up ratio
+        line['vs_baseline'] = 0.0
+        line['error'] = (
+            'reference_cpu_baseline.json missing diffusion_steps_per_sec '
+            '(run scripts/measure_reference_cpu.py)'
         )
-    )
+    print(json.dumps(line))
 
 
 if __name__ == '__main__':

@@ -14,19 +14,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-
-def make_G(Model, **kw):
-    from generative_models_tpu.utils.config import global_defaults
-
-    G = global_defaults()
-    G.bs = 16
-    G.hidden_size = 32
-    for k, v in Model.DG.items():
-        G[k] = v
-    for k, v in kw.items():
-        G[k] = v
-    G.hidden_size = kw.get('hidden_size', 32)
-    return G
+# the SAME config builder the regression tests use — a drifting local copy
+# would re-capture goldens under a different G than the tests run
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / 'tests'))
+from test_regression import make_G  # noqa: E402
 
 
 def main():

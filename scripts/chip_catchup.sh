@@ -26,11 +26,15 @@ for model in $MODELS; do
   hps="$LOGROOT/$model/hps.yaml"
   if [ -f "$hps" ]; then
     backend=$(grep -E '^jax_backend:' "$hps" | awk '{print $2}')
-    # finished chip runs are kept; CPU runs are redone only with the flag
-    if [ "$backend" != "cpu" ] && [ -n "$backend" ]; then
+    # a COMPLETED chip run is kept. hps.yaml (with jax_backend) is written
+    # at the first logger flush — epoch 0 — so its mere presence does NOT
+    # mean the run finished; only the .done sentinel (written below after
+    # main exits cleanly) does. Timed-out/crashed chip runs are redone.
+    if [ "$backend" != "cpu" ] && [ -n "$backend" ] \
+       && [ -f "$LOGROOT/$model/.done" ]; then
       echo "=== $model: chip run already collected, skipping"; continue
     fi
-    if [ "$1" != "--force-cpu-redo" ] && [ -n "$backend" ]; then
+    if [ "$1" != "--force-cpu-redo" ] && [ "$backend" = "cpu" ]; then
       echo "=== $model: CPU run present (pass --force-cpu-redo to redo)"; continue
     fi
     rm -rf "$LOGROOT/$model"
@@ -39,10 +43,13 @@ for model in $MODELS; do
   # '|| echo' keeps set -e from aborting the whole catch-up when one model
   # times out or crashes: the remaining models still get their runs and the
   # collect/render refresh below still folds in everything that finished
-  timeout 3600 python -u -m generative_models_tpu.main --model="$model" \
+  if timeout 3600 python -u -m generative_models_tpu.main --model="$model" \
     --epochs="$EPOCHS" --save_n="$EPOCHS" --eval_heavy=1 \
-    --logdir="$LOGROOT/$model" \
-    || echo "WARN: $model run failed (exit $?); continuing"
+    --logdir="$LOGROOT/$model"; then
+    touch "$LOGROOT/$model/.done"
+  else
+    echo "WARN: $model run failed (exit $?); continuing"
+  fi
 done
 
 python scripts/collect_results.py "$LOGROOT" RESULTS.json

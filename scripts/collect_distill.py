@@ -1,7 +1,7 @@
 """Collect the progressive-distillation chain's per-stage metrics into
 DISTILL.json.
 
-Walks LOGROOT (default logs/distillation_r3) in chain order — teacher,
+Walks LOGROOT (default logs/distillation) in chain order — teacher,
 step1, step2_<N>... — and pulls the final logged values of the headline
 scalars (eval/fid, eval/precision, eval/recall, loss) out of each stage's
 TensorBoard event file. The chain itself is scripts/progressive_distillation.sh
@@ -37,7 +37,7 @@ def stage_metrics(logdir):
 
 
 def main():
-    root = Path(sys.argv[1] if len(sys.argv) > 1 else 'logs/distillation_r3')
+    root = Path(sys.argv[1] if len(sys.argv) > 1 else 'logs/distillation')
     out_path = Path(sys.argv[2] if len(sys.argv) > 2 else 'DISTILL.json')
     stages = ['teacher', 'step1'] + [
         f'step2_{n}' for n in [128, 64, 32, 16, 8, 4, 2, 1]
@@ -55,6 +55,13 @@ def main():
         m['epochs'] = hps.get('epochs')
         result['stages'][stage] = m
         print(stage, json.dumps(m))
+    if not result['stages']:
+        # never clobber a published artifact with an empty chain (e.g. a
+        # LOGROOT typo or a chain that hasn't been trained yet)
+        raise SystemExit(
+            f'no chain stages found under {root} — refusing to overwrite '
+            f'{out_path}'
+        )
     out_path.write_text(json.dumps(result, indent=1))
     print('wrote', out_path)
 

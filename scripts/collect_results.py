@@ -51,9 +51,19 @@ def model_results(logdir, model):
             out['fid_untrained'] = fids[0].value
         else:
             # run was killed before its first post-training heavy eval: the
-            # only FID on record is the UNTRAINED epoch-0 one — don't let it
-            # masquerade as a trained-model result
-            for k in ('fid', 'ignite_fid', 'precision', 'recall', 'f1'):
+            # only metrics on record are the UNTRAINED epoch-0 ones — don't
+            # let ANY of them masquerade as trained-model results
+            heavy_keys = (
+                'fid', 'ignite_fid', 'precision', 'recall', 'f1',
+                'cond_fid', 'cond_precision', 'cond_recall', 'cond_f1',
+                'classifier_loss',
+            )
+            # bits_per_dim is re-logged every epoch (not only at heavy
+            # evals), so it is untrained only if no train epoch completed
+            light_keys = (
+                ('bits_per_dim',) if not out.get('epochs_trained') else ()
+            )
+            for k in heavy_keys + light_keys:
                 if k in out:
                     out[f'{k}_untrained'] = out.pop(k)
             out['partial'] = True

@@ -36,7 +36,7 @@ def time_stage(logdir, n=64, reps=5):
 
 
 def main():
-    root = Path(sys.argv[1] if len(sys.argv) > 1 else 'logs/distillation_r3')
+    root = Path(sys.argv[1] if len(sys.argv) > 1 else 'logs/distillation')
     out_path = Path(sys.argv[2] if len(sys.argv) > 2 else 'DISTILL.json')
     stages = ['teacher', 'step1'] + [
         f'step2_{n}' for n in [128, 64, 32, 16, 8, 4, 2, 1]

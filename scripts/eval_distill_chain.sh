@@ -6,7 +6,7 @@
 # into DISTILL.json's FID-vs-steps curve. The reference chain
 # (gms/diffusion/progressive_distillation.sh) never recorded this curve.
 set -e
-LOGROOT=${LOGROOT:-logs/distillation_r3}
+LOGROOT=${LOGROOT:-logs/distillation}
 
 for stage in teacher step1 step2_128 step2_64 step2_32 step2_16 step2_8 \
              step2_4 step2_2 step2_1; do

@@ -91,7 +91,18 @@ def build(ref_name, bs):
 def ref_curve(name, steps):
     info = REF[name]
     key = KEY_OVERRIDE.get(name, info['key'])
-    return info.get('all', {}).get(key, info['curve'])[:steps]
+    if key == info['key']:
+        return info['curve'][:steps]
+    # an overridden key MUST exist in the recording — silently falling back
+    # to the primary curve would compare mismatched metrics (e.g. our
+    # recon_loss against the reference's vq_vae_loss)
+    all_curves = info.get('all', {})
+    assert key in all_curves, (
+        f'{name}: KEY_OVERRIDE wants {key!r} but the reference recording '
+        f'only has {sorted(all_curves)} — re-record with '
+        f'scripts/measure_reference_cpu.py'
+    )
+    return all_curves[key][:steps]
 
 
 def run_ours(name, cap=True):

@@ -90,6 +90,8 @@ def test_http_endpoints(made_server):
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     try:
+        # each endpoint asserted independently: a blanket try/except around
+        # all three would let a server that 404s everything pass
         with urllib.request.urlopen(f'http://127.0.0.1:{port}/healthz') as r:
             health = json.loads(r.read())
         assert health['model'] == 'made' and health['serve_bs'] == 4
@@ -99,10 +101,9 @@ def test_http_endpoints(made_server):
             png = r.read()
         img = _decode_png_gray(png)
         assert img.shape == (2 * 28, 2 * 28)
-        with urllib.request.urlopen(f'http://127.0.0.1:{port}/nope') as r:
-            pass
-    except urllib.error.HTTPError as e:
-        assert e.code == 404
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(f'http://127.0.0.1:{port}/nope')
+        assert exc_info.value.code == 404
     finally:
         httpd.shutdown()
 
