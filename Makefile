@@ -1,11 +1,11 @@
 test:
 	python -m pytest tests/ -x -q
 
-# ignore only the LIVE-regeneration parity suite (20+min XLA-CPU compiles);
-# the fast recorded-parity tests (test_parity_recorded.py) stay in — a -k
-# pattern like "not curve_parity" would deselect those too
+# the LIVE-regeneration parity suite self-skips off-chip (20+min XLA-CPU
+# compiles) unless GMT_LIVE_PARITY=1; the fast recorded-parity tests
+# (test_parity_recorded.py) always run
 test-fast:
-	python -m pytest tests/ -x -q -k "not smoke" --ignore=tests/test_parity_curves.py
+	python -m pytest tests/ -x -q -k "not smoke"
 
 # the 12-model parity suite on the real chip (~15 min; on the 1-core XLA-CPU
 # fallback some conv-model jit compiles alone take 20+ min, so prefer this

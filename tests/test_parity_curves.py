@@ -11,9 +11,27 @@ chip-recorded curves, run tests/test_parity_recorded.py instead (seconds).
 Reference training loop being mirrored: gms/main.py:152-217.
 """
 
+import os
+
 import pytest
 
 from parity_common import REF, check_parity, run_ours
+
+# On the 1-core XLA-CPU fallback a single conv-model jit compile can exceed
+# 20 minutes, so live regeneration only runs where it is tractable: on a
+# chip (GMT_TESTS_ON_TPU=1, `make test-parity-tpu`) or when explicitly
+# requested with GMT_LIVE_PARITY=1. The identical parity contract over
+# chip-recorded curves always runs, in seconds, in test_parity_recorded.py.
+if not (
+    os.environ.get('GMT_TESTS_ON_TPU') == '1'
+    or os.environ.get('GMT_LIVE_PARITY') == '1'
+):
+    pytest.skip(
+        'live curve regeneration needs a chip (make test-parity-tpu) or '
+        'GMT_LIVE_PARITY=1; the same contract runs fast in '
+        'test_parity_recorded.py',
+        allow_module_level=True,
+    )
 
 
 @pytest.mark.parametrize('name', sorted(REF))
