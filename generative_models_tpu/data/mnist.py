@@ -205,4 +205,18 @@ def load_mnist(G):
     train_x, train_y, test_x, test_y = loaded
     train_x = _apply_transforms(train_x, G.binarize, G.pad32)
     test_x = _apply_transforms(test_x, G.binarize, G.pad32)
+    if G.get('stream_data', 0):
+        # host-streaming path (data/stream.py): the training split stays on
+        # the host and batches prefetch to device — the pipeline shape for
+        # datasets beyond HBM, exercised here at MNIST scale
+        from generative_models_tpu.data.stream import StreamingDataset
+
+        return StreamingDataset(
+            np.asarray(train_x),
+            np.asarray(train_y),
+            np.asarray(test_x),
+            test_y,
+            G.bs,
+            prefetch=G.get('prefetch_depth', 2),
+        )
     return Dataset(np.asarray(train_x), train_y, np.asarray(test_x), test_y, G.bs)

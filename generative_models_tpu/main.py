@@ -217,8 +217,15 @@ def train(model, dataset, autoencoder, classifier, G):
         train_time = time.time()
         if not G.skip_training:
             dk = jax.random.fold_in(data_key, epoch)
-            bx, by = dataset.epoch_batches(dk, train=True)
-            if G.get('jit_epoch', 1):
+            step_metrics = None
+            if getattr(dataset, 'is_streaming', False):
+                # host-streaming path (data/stream.py): batches arrive from
+                # the prefetch thread already device-placed; every step
+                # dispatches async and metrics sync to host once at epoch end
+                with dataset.stream_epoch(dk) as batches:
+                    step_metrics = [model.train_step(x, y) for x, y in batches]
+            elif G.get('jit_epoch', 1):
+                bx, by = dataset.epoch_batches(dk, train=True)
                 metrics = model.train_epoch(bx, by)
                 metrics = jax.device_get(jax.block_until_ready(metrics))
                 for key, val in metrics.items():
@@ -230,10 +237,11 @@ def train(model, dataset, autoencoder, classifier, G):
                 # per-step debug path: dispatch every step async, sync to
                 # host ONCE at epoch end (device scalars stay on device
                 # during the loop)
-                n_steps = bx.shape[0]
+                bx, by = dataset.epoch_batches(dk, train=True)
                 step_metrics = [
-                    model.train_step(bx[i], by[i]) for i in range(n_steps)
+                    model.train_step(bx[i], by[i]) for i in range(bx.shape[0])
                 ]
+            if step_metrics is not None:
                 for metrics in jax.device_get(step_metrics):
                     for key in metrics:
                         prefix_key = (

@@ -80,6 +80,11 @@ def global_defaults():
     DG.remat = 0              # rematerialize blocks in the backward
     # (jax.checkpoint): ~1/3 more FLOPs for O(depth) less activation HBM;
     # honored by pixel_transformer (incl. pipe/ring paths) + diffusion UNet
+    DG.stream_data = 0        # host-streaming data path (data/stream.py):
+    # keep the training split host-resident and double-buffer shuffled
+    # batches to device via a background prefetch thread — the pipeline
+    # shape for datasets beyond HBM (np.memmap-backed splits work)
+    DG.prefetch_depth = 2     # staged-batch queue depth for --stream_data
     DG.ckpt = 'flax'          # checkpoint backend: 'flax' bytes | 'orbax'
     DG.compile_cache = ''     # persistent XLA compile-cache dir ('' = off):
     # re-runs reload compiled executables from disk instead of recompiling
