@@ -73,6 +73,19 @@ def merge_pytree(target, loaded):
     )
 
 
+def intercept_ctx(interceptor):
+    """Context manager applying a flax method interceptor (or nothing).
+    Used by the serving paths to swap quantized kernels in at trace time
+    (ops/int8.py) without touching model code."""
+    import contextlib
+
+    import flax.linen as nn
+
+    return (
+        nn.intercept_methods(interceptor) if interceptor else contextlib.nullcontext()
+    )
+
+
 class GM:
     """GenerativeModel base."""
 
@@ -210,19 +223,23 @@ class GM:
         samp = self.sample(n) if y is None else self.sample(n, y=y)
         return samp[0] if isinstance(samp, tuple) else samp
 
-    def pure_serving_fn(self, n):
+    def pure_serving_fn(self, n, interceptor=None):
         """jitted (raw_key) -> (n, H, W, 1) samples, closed over the CURRENT
         state — the jax.export target for `serve.py --export` (the
         TPU-native analog of the reference's TorchScript deployment,
         gms/common.py:204-208, applied to the zoo itself: the serialized
         StableHLO artifact runs without any model code). raw_key is
         jax.random.key_data(key), so the artifact's input signature is a
-        plain uint32 array rather than an opaque typed key."""
+        plain uint32 array rather than an opaque typed key. An optional
+        flax interceptor (serve.py --quantize, ops/int8.py) rewrites module
+        calls at trace time — it applies identically to the live server and
+        the exported artifact."""
         state = self.state
 
         def fn(raw_key):
             rng = jax.random.wrap_key_data(raw_key)
-            out = self.sample_fn(state, n, rng)
+            with intercept_ctx(interceptor):
+                out = self.sample_fn(state, n, rng)
             return out[0] if isinstance(out, tuple) else out
 
         return jax.jit(fn)
@@ -360,14 +377,15 @@ class Autoreg(GM):
         # (~150 MB HBM at T=784, n=64) that bulk eval would discard unseen
         return self._jit_sample(self.state, n, self.next_rng(), False)
 
-    def pure_serving_fn(self, n):
+    def pure_serving_fn(self, n, interceptor=None):
         """Autoreg sample_fn takes (state, n, rng, with_frames); serve the
         frameless path (see GM.pure_serving_fn for the export contract)."""
         state = self.state
 
         def fn(raw_key):
             rng = jax.random.wrap_key_data(raw_key)
-            return self.sample_fn(state, n, rng, False)
+            with intercept_ctx(interceptor):
+                return self.sample_fn(state, n, rng, False)
 
         return jax.jit(fn)
 

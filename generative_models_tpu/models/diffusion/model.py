@@ -259,16 +259,19 @@ class DiffusionModel(GM):
         y = jnp.asarray(y, jnp.int32)
         return self._jit_sample(self.state, n, y, self.next_rng())
 
-    def pure_serving_fn(self, n):
+    def pure_serving_fn(self, n, interceptor=None):
         """Conditional serving export: (raw_key, y) -> samples (y = -1 for
         unconditional). With --class_cond=0 the exported signature is
         (raw_key) alone, matching SampleServer.export_serving's calling
         convention (see GM.pure_serving_fn for the export contract)."""
+        from generative_models_tpu.models.base import intercept_ctx
+
         state = self.state
 
         def fn(raw_key, y):
             rng = jax.random.wrap_key_data(raw_key)
-            return self.sample_fn(state, n, y, rng)
+            with intercept_ctx(interceptor):
+                return self.sample_fn(state, n, y, rng)
 
         if not self.G.get('class_cond', 0):
             return jax.jit(

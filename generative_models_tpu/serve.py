@@ -26,6 +26,14 @@ Checkpoint format is the training artifact (model.pt flax bytes or an
 orbax_state dir) plus its sibling hps.yaml — the same --weights_from
 round-trip the training CLI uses (reference: gms/main.py:55-64).
 
+Post-training quantization: `--quantize=int8` (= w8a8; also w8a16 for
+weight-only) swaps every large Dense matmul in the serving graph for the
+int8 Pallas GEMM in ops/int8.py via flax method interception — no model
+code changes, and `--export` bakes the int8 weights into the artifact.
+Small-batch AR decode re-reads every weight per token, so int8 weights
+halve the HBM traffic that bounds serving latency; w8a8 additionally runs
+the v5e MXU's 2x-peak int8 path.
+
 Deployment artifacts: `--export=path` serializes the warmed serving graph
 to a standalone StableHLO artifact via jax.export (params baked in;
 input = raw uint32 PRNG key [+ labels]); `--from_export=path` serves that
@@ -103,6 +111,8 @@ class _ServerBase:
 
         self.serve_bs = int(serve_bs)
         self.class_cond = bool(class_cond)
+        self.quant_mode = ''   # '' | 'w8a8' | 'w8a16' (ops/int8.py)
+        self.quant_kernels = 0
         self._lock = threading.Lock()
         self._requests = 0
         # unseeded requests draw from a urandom-salted stream so restarts
@@ -181,6 +191,8 @@ class _ServerBase:
             'warm_sec': self.warm_sec,
             'latency_p50_sec': pick(0.50),
             'latency_p90_sec': pick(0.90),
+            'quantize': self.quant_mode or None,
+            'quantized_kernels': self.quant_kernels,
         }
 
 
@@ -194,10 +206,30 @@ class SampleServer(_ServerBase):
     single stream, so requests serialize through a lock; latency stats
     accumulate under the same lock."""
 
-    def __init__(self, model, serve_bs=64):
+    def __init__(self, model, serve_bs=64, quantize=''):
         self.model = model
         self._init_serving(serve_bs, model.G.get('class_cond', 0))
-        self._call = model.pure_serving_fn(self.serve_bs)
+        # 'int8' is shorthand for the dynamic-activation w8a8 path
+        self.quant_mode = {'int8': 'w8a8'}.get(str(quantize or ''), str(quantize or ''))
+        if self.quant_mode not in ('', 'w8a8', 'w8a16'):
+            raise SystemExit(
+                f'--quantize={quantize}: choose int8|w8a8|w8a16'
+            )
+        self._interceptor = None
+        if self.quant_mode:
+            from generative_models_tpu.ops.int8 import build_quant_interceptor
+
+            self._interceptor, self.quant_kernels = build_quant_interceptor(
+                model, self.quant_mode
+            )
+            if self._interceptor is None:
+                raise SystemExit(
+                    f'--quantize: {model.G.model} has no Dense/masked kernels '
+                    'large enough to quantize (ops/int8.py thresholds)'
+                )
+        self._call = model.pure_serving_fn(
+            self.serve_bs, interceptor=self._interceptor
+        )
 
     def _model_name(self):
         return self.model.G.model
@@ -212,7 +244,9 @@ class SampleServer(_ServerBase):
         import jax
         from jax import export as jexport
 
-        fn = self.model.pure_serving_fn(self.serve_bs)
+        fn = self.model.pure_serving_fn(
+            self.serve_bs, interceptor=self._interceptor
+        )
         raw = jax.random.key_data(jax.random.key(0))
         if self.class_cond:
             import jax.numpy as jnp
@@ -309,6 +343,7 @@ def load_server(argv=None):
     DG.out = Path('samples.png')
     DG.export = ''       # write a jax.export artifact here and exit
     DG.from_export = ''  # serve a jax.export artifact (no model build)
+    DG.quantize = ''     # int8 post-training quant: int8|w8a8|w8a16 (ops/int8.py)
     G, Model = parse_args(argv, discover_models=discover_models, DG=DG)
     maybe_enable_compile_cache(G)
     if str(G.from_export):
@@ -317,12 +352,20 @@ def load_server(argv=None):
                 '--from_export serves an existing artifact; it cannot be '
                 'combined with --export (which needs a model to trace)'
             )
+        if str(G.get('quantize', '')):
+            raise SystemExit(
+                '--quantize applies when the serving graph is traced; an '
+                'exported artifact is already baked (re-export with '
+                '--quantize to get a quantized artifact)'
+            )
         return ExportedServer(G.from_export), G
     set_mesh(make_mesh(G.get('mesh', '')))
     model = Model(G=G)
     if G.weights_from != Path('.'):
         model.load_weights(G.weights_from)
-    server = SampleServer(model, serve_bs=G.serve_bs)
+    server = SampleServer(
+        model, serve_bs=G.serve_bs, quantize=str(G.get('quantize', ''))
+    )
     return server, G
 
 
