@@ -18,6 +18,13 @@ TPU-native serving shape:
     request latency == steady-state latency.
   * requests are serialized through a lock (one chip, one stream); the
     HTTP layer is stdlib ThreadingHTTPServer — no web-framework deps.
+  * `--coalesce_ms=W`: concurrent requests are micro-batched — a
+    dispatcher thread collects queued requests for up to W ms (or until
+    the compiled batch is full) and runs them as ONE padded batch, so k
+    concurrent small requests cost one sampling pass instead of k. Each
+    request gets its own disjoint slice of the batch. Seeded requests
+    bypass coalescing (reproducibility is per-batch: the same seed must
+    mean the same batch layout), as does n == serve_bs.
   * /healthz reports rolling latency stats; /sample?n=16&y=3 returns a PNG
     grid (pure-stdlib zlib PNG encoder — the env ships no image library
     guaranteed to exist at serve time).
@@ -120,6 +127,14 @@ class _ServerBase:
         self._salt = int.from_bytes(os.urandom(4), 'little')
         self.latencies = []
         self.warm_sec = None
+        # request coalescing (enable_coalescing): dispatcher micro-batches
+        # queued requests into one padded sampling pass
+        self.coalesce_ms = 0.0
+        self.coalesced_batches = 0
+        self.coalesced_requests = 0
+        self._queue = []
+        self._queue_cv = threading.Condition()
+        self._dispatcher = None
 
     def warm(self):
         """Compile/load + run the serving graph once so request #1 is
@@ -153,18 +168,137 @@ class _ServerBase:
         explicit seed the request is REPRODUCIBLE (same seed, same labels
         -> bitwise-same batch, live or exported); without one, requests
         draw from a urandom-salted stream that never replays across
-        restarts or replicas."""
+        restarts or replicas.
+
+        When coalescing is on, unseeded sub-batch requests are queued and
+        the dispatcher thread packs concurrent ones into a single padded
+        sampling pass; seeded requests always run solo (the seed pins the
+        WHOLE batch, so a reproducible request cannot share it)."""
         n = max(1, min(int(n), self.serve_bs))
+        if self.coalesce_ms > 0 and seed is None and n < self.serve_bs:
+            return self._sample_coalesced(n, y)
         y_full = self._pad_y(y, n)
         with self._lock:
             self._requests += 1
             s = int(seed) if seed is not None else self._salt + self._requests
             t0 = time.time()
             out = np.asarray(self._run(s, y_full))
-            self.latencies.append(time.time() - t0)
-            if len(self.latencies) > 1000:
-                del self.latencies[:-1000]
+            self._record_latency(time.time() - t0)
         return out[:n]
+
+    def _record_latency(self, dt):
+        self.latencies.append(dt)
+        if len(self.latencies) > 1000:
+            del self.latencies[:-1000]
+
+    # ------------------------- request coalescing ------------------------ #
+    def enable_coalescing(self, window_ms):
+        """Start the micro-batching dispatcher: concurrent unseeded
+        requests queued within `window_ms` of each other (and fitting in
+        one serve_bs batch) run as ONE sampling pass, each request taking
+        a disjoint slice. k concurrent small requests -> 1 chip pass
+        instead of k."""
+        self.coalesce_ms = float(window_ms)
+        if self.coalesce_ms > 0 and self._dispatcher is None:
+            self._dispatcher = threading.Thread(
+                target=self._dispatch_loop, daemon=True
+            )
+            self._dispatcher.start()
+
+    def _sample_coalesced(self, n, y):
+        req = {
+            'n': n,
+            'y': self._request_y(y, n),
+            'done': threading.Event(),
+            't0': time.time(),
+            'out': None,
+            'err': None,
+        }
+        with self._queue_cv:
+            self._queue.append(req)
+            self._queue_cv.notify_all()
+        req['done'].wait()
+        if req['err'] is not None:
+            raise req['err']
+        return req['out']
+
+    def _request_y(self, y, n):
+        """Validate/broadcast one request's labels to exactly n (or None).
+        Same rules as _pad_y, but per-slice: the dispatcher packs these at
+        each request's offset in the shared batch."""
+        if not self.class_cond:
+            if y is not None:
+                raise ValueError('this server is unconditional; got y')
+            return None
+        if y is None:
+            return None
+        y = np.asarray(y, np.int32).reshape(-1)
+        if len(y) == 1:
+            y = np.repeat(y, n)
+        if len(y) != n:
+            raise ValueError(f'len(y)={len(y)} must be 1 or n={n}')
+        return y
+
+    def _take_batch(self):
+        """Under the queue cv: block for the first request, then keep
+        collecting until the compiled batch is full or the window closes.
+        Returns the packed request list (in arrival order, total n <=
+        serve_bs)."""
+        with self._queue_cv:
+            while not self._queue:
+                self._queue_cv.wait()
+            deadline = time.time() + self.coalesce_ms / 1e3
+
+            def packable():
+                used, take = 0, []
+                for r in self._queue:
+                    if used + r['n'] <= self.serve_bs:
+                        used += r['n']
+                        take.append(r)
+                return used, take
+
+            used, take = packable()
+            while used < self.serve_bs:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                self._queue_cv.wait(timeout=remaining)
+                used, take = packable()
+            for r in take:
+                self._queue.remove(r)
+            return take
+
+    def _dispatch_loop(self):
+        while True:
+            batch = self._take_batch()
+            y_full = None
+            if self.class_cond:
+                y_full = -np.ones((self.serve_bs,), np.int32)
+                off = 0
+                for r in batch:
+                    if r['y'] is not None:
+                        y_full[off:off + r['n']] = r['y']
+                    off += r['n']
+            try:
+                with self._lock:
+                    self._requests += 1
+                    s = self._salt + self._requests
+                    out = np.asarray(self._run(s, y_full))
+                    self.coalesced_batches += 1
+                    self.coalesced_requests += len(batch)
+                    now = time.time()
+                    for r in batch:
+                        self._record_latency(now - r['t0'])
+                off = 0
+                for r in batch:
+                    r['out'] = out[off:off + r['n']]
+                    off += r['n']
+            except Exception as e:  # deliver, don't kill the dispatcher
+                for r in batch:
+                    r['err'] = e
+            finally:
+                for r in batch:
+                    r['done'].set()
 
     def _model_name(self):
         raise NotImplementedError
@@ -193,6 +327,9 @@ class _ServerBase:
             'latency_p90_sec': pick(0.90),
             'quantize': self.quant_mode or None,
             'quantized_kernels': self.quant_kernels,
+            'coalesce_ms': self.coalesce_ms or None,
+            'coalesced_batches': self.coalesced_batches,
+            'coalesced_requests': self.coalesced_requests,
         }
 
 
@@ -344,6 +481,7 @@ def load_server(argv=None):
     DG.export = ''       # write a jax.export artifact here and exit
     DG.from_export = ''  # serve a jax.export artifact (no model build)
     DG.quantize = ''     # int8 post-training quant: int8|w8a8|w8a16 (ops/int8.py)
+    DG.coalesce_ms = 0.0  # >0: micro-batch concurrent requests (window, ms)
     G, Model = parse_args(argv, discover_models=discover_models, DG=DG)
     maybe_enable_compile_cache(G)
     if str(G.from_export):
@@ -378,6 +516,8 @@ def main(argv=None):
     print(f'warming {G.model} serve_bs={server.serve_bs} ...', flush=True)
     warm = server.warm()
     print(f'warm in {warm:.2f}s', flush=True)
+    if float(G.get('coalesce_ms', 0)) > 0:
+        server.enable_coalescing(float(G.coalesce_ms))
     if int(G.port) > 0:
         httpd = _http_serve(server, int(G.port), host=str(G.get('host', '127.0.0.1')))
         print(f'serving on {G.host}:{G.port} (/healthz, /sample?n=16&y=3)', flush=True)

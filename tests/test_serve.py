@@ -250,3 +250,142 @@ def test_seeded_requests_reproduce_live_equals_exported(made_server, tmp_path):
     made_server.export_serving(p)
     exp = ExportedServer(p)
     np.testing.assert_array_equal(exp.sample(4, seed=123), a)
+
+
+def _stub_server(serve_bs, class_cond):
+    """_ServerBase with a deterministic _run: sample i of the batch is the
+    constant i, so request slices are identifiable."""
+    from generative_models_tpu.serve import _ServerBase
+
+    class Stub(_ServerBase):
+        def __init__(self):
+            self._init_serving(serve_bs, class_cond)
+            self.run_calls = []
+            self.fail = False
+
+        def _model_name(self):
+            return 'stub'
+
+        def _run(self, seed, y_full):
+            self.run_calls.append(
+                (seed, None if y_full is None else y_full.copy())
+            )
+            if self.fail:
+                raise RuntimeError('chip exploded')
+            return np.arange(self.serve_bs, dtype=np.float32).reshape(
+                -1, 1, 1, 1
+            )
+
+    return Stub()
+
+
+def test_coalescing_packs_concurrent_requests():
+    """Three concurrent requests that exactly fill the batch run as ONE
+    sampling pass; each gets its own disjoint slice and the packed label
+    vector honors per-request y at each request's offset."""
+    srv = _stub_server(7, True)
+    srv.coalesce_ms = 2000.0  # queue requests; dispatcher started below
+    results = {}
+
+    def ask(tag, n, y):
+        results[tag] = srv.sample(n, y=y)
+
+    threads = [
+        threading.Thread(target=ask, args=('a', 2, [5, 6])),
+        threading.Thread(target=ask, args=('b', 3, [7])),
+        threading.Thread(target=ask, args=('c', 2, None)),
+    ]
+    for t in threads:
+        t.start()
+    while True:  # all three queued before the dispatcher exists
+        with srv._queue_cv:
+            if len(srv._queue) == 3:
+                arrival = [(r['n'], r['y']) for r in srv._queue]
+                break
+    srv.enable_coalescing(2000.0)
+    for t in threads:
+        t.join(timeout=30)
+    assert srv.coalesced_batches == 1 and srv.coalesced_requests == 3
+    assert len(srv.run_calls) == 1
+    _, y_full = srv.run_calls[0]
+    # label layout follows arrival order; unlabeled slices stay -1
+    off, expect = 0, -np.ones(7, np.int32)
+    for n, y in arrival:
+        if y is not None:
+            expect[off:off + n] = y
+        off += n
+    assert off == 7
+    np.testing.assert_array_equal(y_full, expect)
+    # each request's slice is the right size; together they tile the batch
+    assert sorted(v.shape[0] for v in results.values()) == [2, 2, 3]
+    got = np.concatenate([v.reshape(-1) for v in results.values()])
+    np.testing.assert_array_equal(np.sort(got), np.arange(7, dtype=np.float32))
+
+
+def test_coalescing_propagates_errors_and_survives():
+    """A failing batch delivers the exception to every waiting request and
+    the dispatcher keeps serving afterwards."""
+    srv = _stub_server(4, False)
+    srv.enable_coalescing(50.0)
+    srv.fail = True
+    errs = []
+
+    def ask():
+        try:
+            srv.sample(2)
+        except RuntimeError as e:
+            errs.append(str(e))
+
+    threads = [threading.Thread(target=ask) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert errs == ['chip exploded', 'chip exploded']
+    srv.fail = False
+    assert srv.sample(2).shape == (2, 1, 1, 1)  # dispatcher alive
+
+
+def test_coalescing_seeded_and_full_batches_bypass():
+    """Seeded requests and full-batch requests run solo even with
+    coalescing on (a seed pins the whole batch layout)."""
+    srv = _stub_server(4, False)
+    srv.enable_coalescing(1000.0)
+    out = srv.sample(2, seed=42)  # returns without any peer request
+    assert out.shape == (2, 1, 1, 1)
+    assert srv.sample(4).shape == (4, 1, 1, 1)  # n == serve_bs: solo
+    assert srv.coalesced_batches == 0 and len(srv.run_calls) == 2
+    assert srv.run_calls[0][0] == 42  # the seed reached the graph
+
+
+def test_coalescing_end_to_end_real_model():
+    """Live-model integration: 4 concurrent n=1 requests on a serve_bs=4
+    MADE server coalesce into fewer sampling passes (normally one)."""
+    from generative_models_tpu.models.made import MADE
+    from generative_models_tpu.utils.config import global_defaults
+
+    G = global_defaults()
+    G.model = 'made'
+    G.bs = 8
+    G.hidden_size = 32
+    srv = SampleServer(MADE(G), serve_bs=4)
+    srv.warm()
+    srv.enable_coalescing(1500.0)
+    barrier = threading.Barrier(4)
+    outs = []
+
+    def ask():
+        barrier.wait()
+        outs.append(srv.sample(1))
+
+    threads = [threading.Thread(target=ask) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(outs) == 4
+    for o in outs:
+        assert o.shape == (1, 28, 28, 1)
+    st = srv.stats()
+    assert st['coalesced_requests'] >= 3  # at least one real coalesce
+    assert st['coalesced_batches'] < 4
