@@ -389,3 +389,47 @@ def test_coalescing_end_to_end_real_model():
     st = srv.stats()
     assert st['coalesced_requests'] >= 3  # at least one real coalesce
     assert st['coalesced_batches'] < 4
+
+
+def test_serving_under_tp_mesh_matches_single_device():
+    """Serving composes with tensor parallelism: a SampleServer built under
+    a data:4,model:2 mesh (pixel_transformer TP rules shard the QKV/MLP
+    matrices over 'model') serves the same seeded batch as a single-device
+    server — multi-chip serving is the same pure_serving_fn, just sharded."""
+    import jax
+
+    from generative_models_tpu.models.pixel_transformer import (
+        PixelTransformer,
+    )
+    from generative_models_tpu.parallel import make_mesh, set_mesh
+    from generative_models_tpu.utils.config import global_defaults
+
+    def build():
+        G = global_defaults()
+        G.model = 'pixel_transformer'
+        for k, v in PixelTransformer.DG.items():
+            G[k] = v
+        G.bs = 8
+        G.n_layer = 1
+        G.n_head = 2
+        G.n_embed = 64
+        return PixelTransformer(G)
+
+    try:
+        set_mesh(make_mesh('data:4,model:2', jax.devices()))
+        srv_tp = SampleServer(build(), serve_bs=2)
+        n_sharded = sum(
+            1
+            for leaf in jax.tree_util.tree_leaves(srv_tp.model.state.params)
+            if 'model' in tuple(getattr(leaf.sharding, 'spec', ()))
+        )
+        assert n_sharded > 0, 'no param sharded over model axis'
+        tp = srv_tp.sample(2, seed=5)
+
+        set_mesh(make_mesh('', jax.devices()[:1]))
+        srv_1 = SampleServer(build(), serve_bs=2)
+        one = srv_1.sample(2, seed=5)
+    finally:
+        set_mesh(make_mesh('', jax.devices()))
+    assert tp.shape == one.shape == (2, 28, 28, 1)
+    np.testing.assert_allclose(tp, one, atol=1e-5)
