@@ -90,6 +90,15 @@ def load_model_and_data(argv=None):
     model = Model(G=G)
     if G.weights_from != Path('.'):
         model.load_weights(G.weights_from)
+    elif int(G.get('resume', 0)):
+        # auto-resume: pick up the logdir's own checkpoint (if any) and
+        # continue — train() derives the epoch to restart from off the
+        # restored step counter. Safe to run as the FIRST invocation too
+        # (no checkpoint yet -> fresh start).
+        ckpt = Path(G.logdir) / 'model.pt'
+        if ckpt.exists() or (Path(G.logdir) / 'orbax_state').exists():
+            model.load_weights(ckpt)
+            print(f'RESUMED {G.logdir} at step {int(model.state.step)}')
     dataset = data_lib.load_mnist(G)
     print('num_vars', count_vars(model.params))
 
@@ -173,7 +182,18 @@ def train(model, dataset, autoencoder, classifier, G):
             print(f'[profiler] trace unavailable: {e}')
             G.profile = 0
 
-    for epoch in count(0):
+    start_epoch = 0
+    if int(G.get('resume', 0)) and int(model.state.step) > 0:
+        # the step counter is part of the checkpointed train state; each
+        # epoch is steps_per_epoch optimizer steps (grad_accum folds k
+        # micro-batches into ONE step, so divide the per-epoch count too)
+        steps_per_epoch = max(
+            1, dataset.steps_per_epoch // max(1, int(G.get('grad_accum', 1)))
+        )
+        start_epoch = int(model.state.step) // steps_per_epoch
+        print(f'RESUMING at epoch {start_epoch}')
+
+    for epoch in count(start_epoch):
         # ---- TEST (eval first: reference gms/main.py:157-183) ----
         if model.has_loss():
             ek = jax.random.fold_in(eval_key, epoch)

@@ -88,6 +88,11 @@ def global_defaults():
     DG.ckpt = 'flax'          # checkpoint backend: 'flax' bytes | 'orbax'
     DG.compile_cache = ''     # persistent XLA compile-cache dir ('' = off):
     # re-runs reload compiled executables from disk instead of recompiling
+    DG.resume = 0             # auto-resume: reload logdir's checkpoint (full
+    # train state: params + optimizer + step) and continue the epoch loop
+    # where it stopped — rerun the SAME command after a preemption/crash.
+    # The reference's closest feature is the manual weights-only
+    # --weights_from warm start (gms/main.py:55-64, no optimizer/epoch).
     return DG
 
 

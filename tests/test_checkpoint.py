@@ -96,3 +96,38 @@ def test_orbax_fsdp_roundtrip_and_retopology(tmp_path):
         assert int(m1.state.step) == 1
     finally:
         set_mesh(make_mesh('', _jax.devices()))
+
+
+def test_auto_resume_continues_epoch_loop(tmp_path, monkeypatch, capsys):
+    """--resume=1: rerunning the SAME command after an interruption reloads
+    the logdir checkpoint (full train state) and continues the epoch loop
+    where it stopped — epochs already trained are not repeated. First run
+    is a fresh start (no checkpoint yet)."""
+    import generative_models_tpu.data.mnist as mdata
+    from generative_models_tpu.main import main
+
+    monkeypatch.setattr(mdata, 'TRAIN_N', 64)  # 4 steps/epoch at bs=16
+    monkeypatch.setattr(mdata, 'TEST_N', 32)
+    args = [
+        '--model=made',
+        f'--logdir={tmp_path}',
+        '--bs=16',
+        '--hidden_size=32',
+        '--data_source=synthetic',
+        '--save_n=1',
+        '--eval_heavy=0',
+        '--resume=1',
+    ]
+    main(args + ['--epochs=1'])
+    out1 = capsys.readouterr().out
+    assert 'RESUMED' not in out1  # nothing to resume on the first run
+
+    main(args + ['--epochs=3'])
+    out2 = capsys.readouterr().out
+    assert 'RESUMED' in out2 and 'at step 4' in out2
+    assert 'RESUMING at epoch 1' in out2
+
+    m = MADE(small_G(tmp_path, hidden_size=32, bs=16))
+    m.load_weights(tmp_path / 'model.pt')
+    # 1 epoch from run one + 2 more (epochs 1, 2) from the resumed run
+    assert int(m.state.step) == 12
