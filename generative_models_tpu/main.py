@@ -272,6 +272,24 @@ def train(model, dataset, autoencoder, classifier, G):
                         logger[prefix_key].append(float(metrics[key]))
         logger['dt/train'] = [time.time() - train_time]
 
+        if int(G.get('nan_guard', 1)):
+            # fail fast on a blown-up run: a non-finite train metric means
+            # every later epoch is wasted chip time (and a checkpointed NaN
+            # state would poison --resume). The reference trains on
+            # obliviously (gms/main.py:205-217).
+            bad = {
+                k: v
+                for k, v in logger.items()
+                if k.split('/')[-2:-1] == ['train']
+                and v
+                and not np.all(np.isfinite(v))
+            }
+            if bad:
+                raise FloatingPointError(
+                    f'non-finite train metrics at epoch {epoch}: '
+                    f'{sorted(bad)} (set --nan_guard=0 to train through)'
+                )
+
     if G.get('profile', 0):
         jax.profiler.stop_trace()
 

@@ -88,6 +88,8 @@ def global_defaults():
     DG.ckpt = 'flax'          # checkpoint backend: 'flax' bytes | 'orbax'
     DG.compile_cache = ''     # persistent XLA compile-cache dir ('' = off):
     # re-runs reload compiled executables from disk instead of recompiling
+    DG.nan_guard = 1          # abort on non-finite train metrics (a blown-up
+    # run wastes every later epoch and poisons --resume checkpoints)
     DG.resume = 0             # auto-resume: reload logdir's checkpoint (full
     # train state: params + optimizer + step) and continue the epoch loop
     # where it stopped — rerun the SAME command after a preemption/crash.
