@@ -184,13 +184,12 @@ def train(model, dataset, autoencoder, classifier, G):
 
     start_epoch = 0
     if int(G.get('resume', 0)) and int(model.state.step) > 0:
-        # the step counter is part of the checkpointed train state; each
-        # epoch is steps_per_epoch optimizer steps (grad_accum folds k
-        # micro-batches into ONE step, so divide the per-epoch count too)
-        steps_per_epoch = max(
-            1, dataset.steps_per_epoch // max(1, int(G.get('grad_accum', 1)))
-        )
-        start_epoch = int(model.state.step) // steps_per_epoch
+        # the step counter is part of the checkpointed train state and
+        # increments once per train_step CALL — i.e. per micro-batch even
+        # under --grad_accum (optax.MultiSteps only gates the optimizer
+        # update, models/base.py train_step) — so epochs trained is simply
+        # step / steps_per_epoch
+        start_epoch = int(model.state.step) // max(1, dataset.steps_per_epoch)
         print(f'RESUMING at epoch {start_epoch}')
 
     for epoch in count(start_epoch):

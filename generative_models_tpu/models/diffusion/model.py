@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import optax
 from flax import serialization
 
-from generative_models_tpu.models.base import GM
+from generative_models_tpu.models.base import GM, intercept_ctx
 from generative_models_tpu.models.diffusion.gaussian_diffusion import GaussianDiffusion
 from generative_models_tpu.models.diffusion.unet import SimpleUnet
 from generative_models_tpu.utils import register, write_grid, write_gridvid
@@ -264,8 +264,6 @@ class DiffusionModel(GM):
         unconditional). With --class_cond=0 the exported signature is
         (raw_key) alone, matching SampleServer.export_serving's calling
         convention (see GM.pure_serving_fn for the export contract)."""
-        from generative_models_tpu.models.base import intercept_ctx
-
         state = self.state
 
         def fn(raw_key, y):

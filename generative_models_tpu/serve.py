@@ -281,7 +281,10 @@ class _ServerBase:
                     off += r['n']
             try:
                 with self._lock:
-                    self._requests += 1
+                    # count every request (stats parity with the solo path);
+                    # the sum stays monotonic, so the salted seed stream
+                    # still never repeats
+                    self._requests += len(batch)
                     s = self._salt + self._requests
                     out = np.asarray(self._run(s, y_full))
                     self.coalesced_batches += 1
@@ -355,6 +358,26 @@ class SampleServer(_ServerBase):
         self._interceptor = None
         if self.quant_mode:
             from generative_models_tpu.ops.int8 import build_quant_interceptor
+            from generative_models_tpu.parallel import get_mesh
+
+            mesh = get_mesh()
+            non_data = {
+                ax: n
+                for ax, n in (mesh.shape.items() if mesh else ())
+                if ax != 'data' and n > 1
+            }
+            if non_data:
+                # the int8 Pallas GEMM consumes the quantized weights inside
+                # a pallas_call GSPMD cannot partition; under a model/seq/
+                # pipe-sharded mesh that either fails to compile or silently
+                # replicates the weights (defeating the HBM win). Refuse
+                # rather than mislead; data-only meshes replicate params and
+                # are fine.
+                raise SystemExit(
+                    f'--quantize does not compose with a {dict(non_data)}-'
+                    'sharded mesh; serve quantized models on a single chip '
+                    'or a data-only mesh'
+                )
 
             self._interceptor, self.quant_kernels = build_quant_interceptor(
                 model, self.quant_mode

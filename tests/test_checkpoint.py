@@ -131,3 +131,13 @@ def test_auto_resume_continues_epoch_loop(tmp_path, monkeypatch, capsys):
     m.load_weights(tmp_path / 'model.pt')
     # 1 epoch from run one + 2 more (epochs 1, 2) from the resumed run
     assert int(m.state.step) == 12
+
+    # --grad_accum does NOT change the step-per-epoch accounting: state.step
+    # increments per train_step call (per micro-batch; optax.MultiSteps only
+    # gates the optimizer update), so resume must not divide by accum
+    ga = ['--grad_accum=2']
+    d2 = tmp_path / 'ga'
+    main(args[:1] + [f'--logdir={d2}'] + args[2:] + ga + ['--epochs=1'])
+    main(args[:1] + [f'--logdir={d2}'] + args[2:] + ga + ['--epochs=2'])
+    out3 = capsys.readouterr().out
+    assert 'RESUMING at epoch 1' in out3  # step 4 / 4 steps-per-epoch = 1

@@ -228,3 +228,30 @@ def test_serve_cli_rejects_bad_quantize():
     G.append_loc = 1
     with pytest.raises(SystemExit, match='int8'):
         SampleServer(RNN(G), serve_bs=2, quantize='fp4')
+
+
+def test_quantize_refuses_model_sharded_mesh():
+    """--quantize under a model-sharded mesh is refused: the int8 Pallas
+    GEMM would consume TP-sharded weights inside a custom call GSPMD cannot
+    partition (compile error or silent full replication on chip)."""
+    import jax as _jax
+
+    from generative_models_tpu.models.rnn import RNN
+    from generative_models_tpu.parallel import make_mesh, set_mesh
+    from generative_models_tpu.serve import SampleServer
+    from generative_models_tpu.utils.config import global_defaults
+
+    G = global_defaults()
+    G.model = 'rnn'
+    G.hidden_size = 64
+    G.append_loc = 1
+    try:
+        set_mesh(make_mesh('data:4,model:2', _jax.devices()))
+        with pytest.raises(SystemExit, match='does not compose'):
+            SampleServer(RNN(G), serve_bs=2, quantize='int8')
+        # data-only meshes replicate params: quantization stays allowed
+        set_mesh(make_mesh('', _jax.devices()))
+        srv = SampleServer(RNN(G), serve_bs=2, quantize='int8')
+        assert srv.quant_kernels == 1
+    finally:
+        set_mesh(make_mesh('', _jax.devices()))
