@@ -127,10 +127,17 @@ class GaussianDiffusion:
         sampler='ddim',
         sample_cond_w=None,
         fused_cfg=False,
+        sample_steps=None,
     ):
         self.fused_cfg = fused_cfg
         self.mean_type = mean_type
         self.num_steps = num_steps
+        # --sample_steps decouples the sampling-chain length from the
+        # training discretization: the chain walks a coarser uniform u-grid
+        # of sample_steps points through the SAME logsnr schedule (DDIM and
+        # DPM-Solver++ are ODE solvers — nothing ties them to num_steps).
+        # None/0 keeps the reference behavior (chain length == num_steps).
+        self.sample_steps = int(sample_steps or num_steps)
         self.has_teacher = has_teacher
         self.logsnr_schedule_fn = get_logsnr_schedule(
             'cosine', logsnr_min=-20.0, logsnr_max=20.0
@@ -269,29 +276,29 @@ class GaussianDiffusion:
         eps_pred_t = predict_eps_from_x(z=z_t, x=x_pred_t, logsnr=ls)
         return x_pred_t, eps_pred_t
 
-    def ddim_step(self, *, net, logsnr_t, logsnr_s, z_t, cond_w=None):
+    def _predict(self, *, net, z_t, logsnr_t, cond_w=None):
+        """Shared prediction head for every sampler: clipped x_hat and the
+        recomputed eps_hat at (z_t, logsnr_t), CF-guided when cond_w is set."""
         if cond_w is not None:
-            x_pred_t, eps_pred_t = self._run_model_guided(
+            return self._run_model_guided(
                 net=net, z_t=z_t, logsnr_t=logsnr_t, cond_w=cond_w
             )
-        else:
-            model_out = self._run_model(net=net, z=z_t, logsnr=logsnr_t)
-            x_pred_t = model_out['model_x']
-            eps_pred_t = model_out['model_eps']
+        model_out = self._run_model(net=net, z=z_t, logsnr=logsnr_t)
+        return model_out['model_x'], model_out['model_eps']
+
+    def ddim_step(self, *, net, logsnr_t, logsnr_s, z_t, cond_w=None):
+        x_pred_t, eps_pred_t = self._predict(
+            net=net, z_t=z_t, logsnr_t=logsnr_t, cond_w=cond_w
+        )
         stdv_s = bc(jnp.sqrt(jax.nn.sigmoid(-logsnr_s)), z_t.shape)
         alpha_s = bc(jnp.sqrt(jax.nn.sigmoid(logsnr_s)), z_t.shape)
         z_s_pred = alpha_s * x_pred_t + stdv_s * eps_pred_t
         return z_s_pred, x_pred_t, eps_pred_t
 
     def reverse_dpm_step(self, *, net, logsnr_t, logsnr_s, z_t, rng, cond_w=None):
-        if cond_w is not None:
-            x_pred_t, eps_pred_t = self._run_model_guided(
-                net=net, z_t=z_t, logsnr_t=logsnr_t, cond_w=cond_w
-            )
-        else:
-            model_out = self._run_model(net=net, z=z_t, logsnr=logsnr_t)
-            x_pred_t = model_out['model_x']
-            eps_pred_t = model_out['model_eps']
+        x_pred_t, eps_pred_t = self._predict(
+            net=net, z_t=z_t, logsnr_t=logsnr_t, cond_w=cond_w
+        )
         z_s_dist = diffusion_reverse(
             z_t=z_t,
             logsnr_t=bc(logsnr_t, z_t.shape),
@@ -308,11 +315,12 @@ class GaussianDiffusion:
         self, *, net, init_x, rng, cond_w=None, teacher_net=None,
         return_history=True,
     ):
-        """Full reverse chain as ONE lax.scan over t = N-1..0 (reference runs
-        a host Python loop, gaussian_diffusion.py:282-296). Returns stacked
-        (z, x_hat, eps_hat) histories, shape (N, *init_x.shape) — or, with
-        return_history=False, just the final sample batch (the serving path:
-        no per-step history ever lands in HBM).
+        """Full reverse chain as ONE lax.scan over t = S-1..0 where S =
+        sample_steps (reference runs a host Python loop over num_steps,
+        gaussian_diffusion.py:282-296). Returns stacked (z, x_hat, eps_hat)
+        histories, shape (S, *init_x.shape) — or, with return_history=False,
+        just the final sample batch (the serving path: no per-step history
+        ever lands in HBM).
 
         NOTE (preserved reference quirk): cond_w's VALUE is ignored — it is
         a not-None flag enabling guidance, with per-sample weights drawn
@@ -334,7 +342,7 @@ class GaussianDiffusion:
                 self.sample_cond_w if self.sample_cond_w != -1.0 else net_cond_w
             )
 
-        if self.sampler == 'ddim':
+        if self.sampler in ('ddim', 'dpm2m'):
             body_net = net
             stochastic = False
         elif self.sampler == 'noisy':
@@ -349,11 +357,56 @@ class GaussianDiffusion:
             raise NotImplementedError(self.sampler)
 
         fbc = lambda z: bc(z, init_x.shape)
+        S = self.sample_steps
+
+        if self.sampler == 'dpm2m':
+            # DPM-Solver++(2M) (Lu et al. 2022, arXiv:2211.01095), data-
+            # prediction multistep form in half-logSNR time lam = logsnr/2.
+            # Step t->s (denoising, h = lam_s - lam_t > 0):
+            #   D    = x_t + (x_t - x_prev) / (2 r),  r = h_prev / h
+            #   z_s  = (sigma_s/sigma_t) z_t - alpha_s expm1(-h) D
+            # First step has no history: D = x_t, which makes the update
+            # EXACTLY the DDIM step (tests pin this). One extra carry slot
+            # (x_prev, h_prev) is the entire cost — same one-scan structure,
+            # one net call per step, second-order accuracy in h.
+            def body2m(carry, inp):
+                z_t, x_prev, h_prev = carry
+                i, key = inp
+                logsnr_t = self.logsnr_schedule_fn((i + 1.0) / S)
+                logsnr_s = self.logsnr_schedule_fn(i / S)
+                x_pred, eps_pred = self._predict(
+                    net=body_net, z_t=z_t, logsnr_t=logsnr_t, cond_w=cond_w
+                )
+                h = 0.5 * (logsnr_s - logsnr_t)
+                r = h_prev / h
+                D = jnp.where(
+                    fbc(i) == S - 1.0,
+                    x_pred,
+                    x_pred + (x_pred - x_prev) / fbc(2.0 * r),
+                )
+                sig_ratio = jnp.sqrt(
+                    jax.nn.sigmoid(-logsnr_s) / jax.nn.sigmoid(-logsnr_t)
+                )
+                alpha_s = jnp.sqrt(jax.nn.sigmoid(logsnr_s))
+                z_s = fbc(sig_ratio) * z_t - fbc(alpha_s * jnp.expm1(-h)) * D
+                z_next = jnp.where(fbc(i) == 0, x_pred, z_s)
+                hist = (z_next, x_pred, eps_pred) if return_history else None
+                return (z_next, x_pred, h), hist
+
+            steps = jnp.arange(S - 1, -1, -1, dtype=jnp.float32)
+            keys = jax.random.split(rng_chain, S)
+            (final, _, _), hist = jax.lax.scan(
+                body2m, (init_x, jnp.zeros_like(init_x), jnp.float32(1.0)),
+                (steps, keys),
+            )
+            if not return_history:
+                return final
+            return hist
 
         def body(z_t, inp):
             i, key = inp
-            logsnr_t = self.logsnr_schedule_fn((i + 1.0) / self.num_steps)
-            logsnr_s = self.logsnr_schedule_fn(i / self.num_steps)
+            logsnr_t = self.logsnr_schedule_fn((i + 1.0) / S)
+            logsnr_s = self.logsnr_schedule_fn(i / S)
             if stochastic:
                 z_s, x_pred, eps_pred = self.reverse_dpm_step(
                     net=body_net, logsnr_t=logsnr_t, logsnr_s=logsnr_s, z_t=z_t,
@@ -368,8 +421,8 @@ class GaussianDiffusion:
             hist = (z_next, x_pred, eps_pred) if return_history else None
             return z_next, hist
 
-        steps = jnp.arange(self.num_steps - 1, -1, -1, dtype=jnp.float32)
-        keys = jax.random.split(rng_chain, self.num_steps)
+        steps = jnp.arange(S - 1, -1, -1, dtype=jnp.float32)
+        keys = jax.random.split(rng_chain, S)
         final, hist = jax.lax.scan(body, init_x, (steps, keys))
         if not return_history:
             return final

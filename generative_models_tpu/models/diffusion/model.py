@@ -29,7 +29,10 @@ class DiffusionModel(GM):
     DG.timesteps = 250
     DG.hidden_size = 128
     DG.dropout = 0.0
-    DG.sampler = 'ddim'
+    DG.sampler = 'ddim'  # ddim | noisy (ancestral) | dpm2m (DPM-Solver++(2M))
+    DG.sample_steps = 0  # sampling-chain length; 0 = --timesteps. DDIM and
+    # dpm2m are ODE solvers, so the chain can be far shorter than the
+    # training discretization — measured FID-vs-steps sweeps in EVAL.json.
     DG.mean_type = 'v'
     DG.eval_heavy = 1
     DG.class_cond = 1
@@ -62,6 +65,7 @@ class DiffusionModel(GM):
             teacher_mode=G.teacher_mode,
             sample_cond_w=G.sample_cond_w,
             fused_cfg=bool(G.get('fused_cfg', 0)),
+            sample_steps=int(G.get('sample_steps', 0)),
         )
         super().__init__(G)
         if self.has_teacher:
