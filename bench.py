@@ -167,6 +167,21 @@ def bench_model(name, extra, rng):
             for _ in range(3):
                 srv.sample(64)
             extra['serving_sample64_p50_sec'] = srv.stats()['latency_p50_sec']
+            # fast-sampler serving path: DPM-Solver++(2M) at 25 steps
+            # (--sampler=dpm2m --sample_steps=25; FID-vs-steps tradeoff
+            # measured in EVAL.json fast_sampler_sweep)
+            G2, Model2 = parse_args(
+                [
+                    '--model=diffusion_model', '--bs=64',
+                    '--logdir=/tmp/bench_logs', '--sampler=dpm2m',
+                    '--sample_steps=25',
+                ],
+                discover_models=discover_models,
+            )
+            m2 = Model2(G=G2)
+            extra['ddpm_dpm2m25_sample64_sec'] = timeit(
+                lambda: m2.sample(64, y=yy), n=2, warmup=1
+            )
         else:
             extra[f'{name}_sample25_sec'] = timeit(
                 lambda: model.sample(25), n=2, warmup=1

@@ -172,3 +172,44 @@ def test_diffusion_model_dpm2m_cli_flags():
         m.state, noise, jnp.zeros((2,), jnp.int32), jax.random.key(1)
     )
     assert zs.shape[0] == 8
+
+
+def test_serve_sampler_override_roundtrip(tmp_path):
+    """Serving honors --sampler/--sample_steps overrides on top of the
+    checkpoint's hps.yaml (and keeps the trained values without them):
+    the deploy knob for the fast-sampler latency/quality tradeoff."""
+    G, Model = parse_args(
+        [
+            '--model=diffusion_model', '--bs=4', '--hidden_size=16',
+            '--timesteps=8', '--bf16=0', f'--logdir={tmp_path}',
+        ],
+        discover_models=discover_models,
+    )
+    m = Model(G=G)
+    m.save(tmp_path)
+    from generative_models_tpu.utils.config import dump_hps
+
+    dump_hps(G, tmp_path)  # the sibling hps.yaml --weights_from reloads
+
+    from generative_models_tpu.serve import load_server
+
+    srv, G2 = load_server(
+        [
+            '--model=diffusion_model', f'--weights_from={tmp_path}/model.pt',
+            '--serve_bs=4', f'--logdir={tmp_path}/s1',
+        ]
+    )
+    assert srv.model.diffusion.sampler == 'ddim'
+    assert srv.model.diffusion.sample_steps == 8  # hps.yaml round-trip
+
+    srv, G3 = load_server(
+        [
+            '--model=diffusion_model', f'--weights_from={tmp_path}/model.pt',
+            '--serve_bs=4', '--sampler=dpm2m', '--sample_steps=3',
+            f'--logdir={tmp_path}/s2',
+        ]
+    )
+    assert srv.model.diffusion.sampler == 'dpm2m'
+    assert srv.model.diffusion.sample_steps == 3
+    out = srv.sample(4)
+    assert out.shape == (4, 28, 28, 1) and np.isfinite(out).all()
