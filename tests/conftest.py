@@ -83,6 +83,18 @@ if not _ON_TPU:
 
 import jax
 
+# Persistent XLA compilation cache (same machinery as the CLI's
+# --compile_cache): the suite is compile-bound on a 1-core host, and the
+# cache is keyed on HLO + compiler version, so re-runs (or the second of
+# two chunked invocations hitting shared graphs) skip straight to
+# execution. Opt out with GMT_TEST_COMPILE_CACHE=0.
+if os.environ.get('GMT_TEST_COMPILE_CACHE', '1') != '0':
+    jax.config.update(
+        'jax_compilation_cache_dir',
+        os.environ.get('GMT_TEST_COMPILE_CACHE_DIR', '/tmp/gmt_test_xla_cache'),
+    )
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 if not _ON_TPU:
     assert jax.default_backend() == 'cpu' and len(jax.devices()) == 8, (
         jax.default_backend(),
