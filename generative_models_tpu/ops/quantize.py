@@ -34,6 +34,23 @@ def _vq_kernel(z_ref, e_ref, oh_ref, *, k_valid):
     oh_ref[:] = (col == idx[:, None]).astype(jnp.float32)
 
 
+_VMEM_BUDGET = 14 * 2**20  # leave slack under the ~16 MB scoped VMEM limit
+
+
+def _pick_bn(N, Kp, Dp):
+    """Largest N-block size whose VMEM working set fits: the (bn, Kp) one-hot
+    out block and (bn, Dp) z block are pipelined (double-buffered, hence the
+    2x), the (Kp, Dp) codebook is resident. None = not even bn=8 fits (fall
+    back to XLA). Regression guard: at (Kp=4096, Dp=128) the old fixed
+    bn=1024 allocated a 16 MB out block and the kernel VMEM-OOM'd."""
+    bn = min(_round_up(N, 8), 1024)
+    while bn >= 8:
+        if 4 * (2 * bn * (Kp + Dp) + Kp * Dp) <= _VMEM_BUDGET:
+            return bn
+        bn //= 2
+    return None
+
+
 def vq_one_hot(z_flat, codebook, use_pallas=True, interpret=None):
     """z_flat: (N, D); codebook: (K, D) -> one-hot assignments (N, K) f32.
 
@@ -56,8 +73,16 @@ def vq_one_hot(z_flat, codebook, use_pallas=True, interpret=None):
     codebook = jax.lax.stop_gradient(codebook)
     N, D = z_flat.shape
     K = codebook.shape[0]
-    bn = min(_round_up(N, 8), 1024)
-    Np, Kp, Dp = _round_up(N, bn), _round_up(K, 128), _round_up(D, 128)
+    Kp, Dp = _round_up(K, 128), _round_up(D, 128)
+    bn = _pick_bn(N, Kp, Dp)
+    # measured shape gate (docs/PERF.md, v5e): the kernel wins while blocks
+    # stay large (zoo N=3136/K=64: 254 vs 266 us; N=12544/K=1024: 301 vs
+    # 306 us), but at huge score matrices (N=50176/K=4096: 30.2 vs 25.1 ms)
+    # XLA's matmul+argmin pipeline beats the VMEM-shrunken kernel — both
+    # pay the (N, Kp) one-hot HBM write the API contract requires
+    if bn is None or N * Kp > 64 * 2**20:
+        return vq_one_hot(z_flat, codebook, use_pallas=False)
+    Np = _round_up(N, bn)
     zp = jnp.pad(z_flat.astype(jnp.float32), ((0, Np - N), (0, Dp - D)))
     ep = jnp.pad(codebook.astype(jnp.float32), ((0, Kp - K), (0, Dp - D)))
     kernel = functools.partial(_vq_kernel, k_valid=K)

@@ -2,7 +2,6 @@
 determinism — production-trainer guarantees the reference lacks
 (gms/main.py trains through NaNs and has no determinism contract)."""
 
-import numpy as np
 import pytest
 
 from generative_models_tpu.main import main

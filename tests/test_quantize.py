@@ -56,3 +56,45 @@ def test_perplexity_bounds():
     _, _, perplexity, idxs, _ = vq_quantize(z, cb, beta=0.25, use_pallas=False)
     assert 1.0 <= float(perplexity) <= 16.0
     assert idxs.shape == (4, 7, 7)
+
+
+def test_pick_bn_vmem_budget():
+    """Block sizing: the (bn, Kp) out block must fit scoped VMEM. The old
+    fixed bn=1024 OOM'd on chip at Kp=4096 (16 MB out block alone)."""
+    from generative_models_tpu.ops.quantize import _VMEM_BUDGET, _pick_bn
+
+    assert _pick_bn(64 * 7 * 7, 128, 128) == 1024  # zoo shape: unchanged
+    bn = _pick_bn(50176, 4096, 128)
+    assert bn is not None and bn < 1024
+    assert 4 * (2 * bn * (4096 + 128) + 4096 * 128) <= _VMEM_BUDGET
+    # a codebook whose VMEM residency alone busts the budget -> None (XLA)
+    assert _pick_bn(1024, 65536, 8192) is None
+
+
+def test_large_codebook_shrunken_block_matches_xla():
+    """Kp=2048 forces a shrunken bn (and exercises the multi-block grid);
+    interpret-mode kernel must still match the XLA argmin exactly."""
+    z = jax.random.normal(jax.random.key(3), (160, 32))
+    cb = jax.random.normal(jax.random.key(4), (2048, 32))
+    from generative_models_tpu.ops.quantize import _pick_bn
+
+    assert _pick_bn(160, 2048, 128) < 1024
+    oh_p = vq_one_hot(z, cb, use_pallas=True, interpret=True)
+    oh_x = vq_one_hot(z, cb, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(oh_p), np.asarray(oh_x))
+
+
+def test_oversized_codebook_falls_back_to_xla():
+    """When not even bn=8 fits, vq_one_hot must route to the XLA form
+    rather than emit a kernel that will VMEM-OOM."""
+    from unittest import mock
+
+    import generative_models_tpu.ops.quantize as q
+
+    z = jax.random.normal(jax.random.key(5), (16, 8))
+    cb = jax.random.normal(jax.random.key(6), (64, 8))
+    with mock.patch.object(q, '_pick_bn', return_value=None):
+        oh = q.vq_one_hot(z, cb, use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(oh), np.asarray(vq_one_hot(z, cb, use_pallas=False))
+    )
