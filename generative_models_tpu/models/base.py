@@ -73,6 +73,20 @@ def merge_pytree(target, loaded):
     )
 
 
+_INTERCEPT_ACTIVE = __import__('contextvars').ContextVar(
+    'gmt_intercept_active', default=False
+)
+
+
+def interception_active():
+    """True while tracing under an intercept_ctx with a real interceptor.
+    Model code that fuses across submodule calls (e.g. the decode step's
+    one-matmul QKV) must check this and take the per-module path instead,
+    so the interceptor still sees every nn.Dense.__call__ — otherwise
+    --quantize serving would silently run those matmuls unquantized."""
+    return _INTERCEPT_ACTIVE.get()
+
+
 def intercept_ctx(interceptor):
     """Context manager applying a flax method interceptor (or nothing).
     Used by the serving paths to swap quantized kernels in at trace time
@@ -81,9 +95,19 @@ def intercept_ctx(interceptor):
 
     import flax.linen as nn
 
-    return (
-        nn.intercept_methods(interceptor) if interceptor else contextlib.nullcontext()
-    )
+    if not interceptor:
+        return contextlib.nullcontext()
+
+    @contextlib.contextmanager
+    def ctx():
+        tok = _INTERCEPT_ACTIVE.set(True)
+        try:
+            with nn.intercept_methods(interceptor):
+                yield
+        finally:
+            _INTERCEPT_ACTIVE.reset(tok)
+
+    return ctx()
 
 
 class GM:

@@ -369,9 +369,8 @@ class GaussianDiffusion:
             # EXACTLY the DDIM step (tests pin this). One extra carry slot
             # (x_prev, h_prev) is the entire cost — same one-scan structure,
             # one net call per step, second-order accuracy in h.
-            def body2m(carry, inp):
+            def body2m(carry, i):
                 z_t, x_prev, h_prev = carry
-                i, key = inp
                 logsnr_t = self.logsnr_schedule_fn((i + 1.0) / S)
                 logsnr_s = self.logsnr_schedule_fn(i / S)
                 x_pred, eps_pred = self._predict(
@@ -393,11 +392,11 @@ class GaussianDiffusion:
                 hist = (z_next, x_pred, eps_pred) if return_history else None
                 return (z_next, x_pred, h), hist
 
+            # deterministic ODE steps: no per-step rng is consumed
             steps = jnp.arange(S - 1, -1, -1, dtype=jnp.float32)
-            keys = jax.random.split(rng_chain, S)
             (final, _, _), hist = jax.lax.scan(
                 body2m, (init_x, jnp.zeros_like(init_x), jnp.float32(1.0)),
-                (steps, keys),
+                steps,
             )
             if not return_history:
                 return final

@@ -60,24 +60,34 @@ class CausalSelfAttention(nn.Module):
         """x_t: (B, C); kv_cache: (T, B, 2, H*D) packed T-major (see
         ops.attention.decode_step_attention for the layout rationale);
         returns (y_t, kv_cache)."""
+        from generative_models_tpu.models.base import interception_active
+
         B = x_t.shape[0]
-        # one fused (B,C)@(C,3HD) matmul replaces the three Q/K/V matmuls:
-        # the concatenated kernel is loop-invariant, so XLA hoists the
-        # concat out of the 784-step sampling scan, and the decode chain is
-        # dependent-op-latency-bound (docs/PERF.md) — fewer ops, same math
-        wq, wk, wv = (
-            m.variables['params']['kernel']
-            for m in (self.query, self.key, self.value)
-        )
-        bq, bk, bv = (
-            m.variables['params']['bias']
-            for m in (self.query, self.key, self.value)
-        )
-        qkv = x_t @ jnp.concatenate([wq, wk, wv], 1) + jnp.concatenate(
-            [bq, bk, bv]
-        )
-        q, k_t, v_t = jnp.split(qkv, 3, axis=-1)
-        kv = jnp.stack([k_t, v_t], 1)  # (B, 2, HD)
+        if interception_active():
+            # a flax method interceptor is rewriting Dense calls (int8
+            # serving quantization) — it must see query/key/value
+            # individually, so skip the cross-module fusion below
+            q = self.query(x_t)
+            kv = jnp.stack([self.key(x_t), self.value(x_t)], 1)
+        else:
+            # one fused (B,C)@(C,3HD) matmul replaces the three Q/K/V
+            # matmuls: the concatenated kernel is loop-invariant, so XLA
+            # hoists the concat out of the 784-step sampling scan, and the
+            # decode chain is dependent-op-latency-bound (docs/PERF.md) —
+            # fewer ops, same math
+            wq, wk, wv = (
+                m.variables['params']['kernel']
+                for m in (self.query, self.key, self.value)
+            )
+            bq, bk, bv = (
+                m.variables['params']['bias']
+                for m in (self.query, self.key, self.value)
+            )
+            qkv = x_t @ jnp.concatenate([wq, wk, wv], 1) + jnp.concatenate(
+                [bq, bk, bv]
+            )
+            q, k_t, v_t = jnp.split(qkv, 3, axis=-1)
+            kv = jnp.stack([k_t, v_t], 1)  # (B, 2, HD)
         kv_cache = jax.lax.dynamic_update_slice(
             kv_cache, kv.astype(kv_cache.dtype)[None], (t, 0, 0, 0)
         )

@@ -47,7 +47,9 @@ def _pick_bn(N, Kp, Dp):
     while bn >= 8:
         if 4 * (2 * bn * (Kp + Dp) + Kp * Dp) <= _VMEM_BUDGET:
             return bn
-        bn //= 2
+        # keep the sublane dim 8-aligned while shrinking (Mosaic rejects
+        # f32 blocks whose second-minor dim is not a multiple of 8)
+        bn = _round_up(bn // 2, 8) if bn > 8 else 0
     return None
 
 

@@ -138,6 +138,15 @@ def parse_args(argv=None, discover_models=None, DG=None):
             if key not in tempG:
                 parser.add_argument(f'--{key}', type=args_type(value), default=value)
         Model = discover_models()[loadedG.model]
+        # forward compatibility: DG keys the model gained AFTER this
+        # checkpoint was trained are absent from its hps.yaml — register
+        # them at the model's current defaults so new flags (e.g.
+        # --sample_steps) work on old checkpoints instead of dying with
+        # 'unrecognized arguments'
+        for key, value in Model.DG.items():
+            if key not in loadedG and key not in tempG:
+                defaults[key] = value
+                parser.add_argument(f'--{key}', type=args_type(value), default=value)
     else:
         Model = discover_models()[tempG.model]
         for key, value in Model.DG.items():

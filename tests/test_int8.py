@@ -255,3 +255,46 @@ def test_quantize_refuses_model_sharded_mesh():
         assert srv.quant_kernels == 1
     finally:
         set_mesh(make_mesh('', _jax.devices()))
+
+
+def test_transformer_decode_respects_interceptor():
+    """Regression: the decode step's fused QKV matmul reads raw kernels,
+    which would bypass a quantization interceptor entirely — under
+    intercept_ctx the step must route through the individual
+    query/key/value Dense calls so --quantize serving really quantizes
+    them (and the fused fast path must stay numerically identical)."""
+    import jax.numpy as jnp
+
+    from generative_models_tpu.models.base import intercept_ctx
+    from generative_models_tpu.models.pixel_transformer import TransformerNet
+
+    net = TransformerNet(
+        in_size=1, block_size=8, n_embed=32, n_head=2, n_layer=2,
+        use_pallas=False,
+    )
+    x = jax.random.normal(jax.random.key(0), (3, 8, 1))
+    params = net.init(jax.random.key(1), x)['params']
+    caches = net.init_cache(3)
+    tok = jnp.zeros((3, 1))
+
+    def step(ic):
+        seen = []
+
+        def spy(next_fun, args, kwargs, context):
+            seen.append('/'.join(map(str, context.module.path or ())))
+            return next_fun(*args, **kwargs)
+
+        with intercept_ctx(spy if ic else None):
+            logits, _ = net.apply(
+                {'params': params}, tok, caches, 0,
+                method=TransformerNet.decode_step,
+            )
+        return np.asarray(logits), seen
+
+    fused, seen0 = step(False)
+    routed, seen1 = step(True)
+    assert not seen0
+    for layer in (0, 1):
+        for name in ('query', 'key', 'value', 'proj'):
+            assert f'block{layer}/attn/{name}' in seen1, (name, seen1)
+    np.testing.assert_allclose(fused, routed, rtol=1e-5, atol=1e-6)

@@ -69,6 +69,12 @@ def test_pick_bn_vmem_budget():
     assert 4 * (2 * bn * (4096 + 128) + 4096 * 128) <= _VMEM_BUDGET
     # a codebook whose VMEM residency alone busts the budget -> None (XLA)
     assert _pick_bn(1024, 65536, 8192) is None
+    # shrinking must keep the sublane dim 8-aligned (Mosaic rejects f32
+    # blocks otherwise): N=196 rounds to bn=200, and naive halving would
+    # yield 100/50/...
+    for args in ((196, 8192, 128), (1000, 4096, 128)):
+        bn = _pick_bn(*args)
+        assert bn is not None and bn % 8 == 0, (args, bn)
 
 
 def test_large_codebook_shrunken_block_matches_xla():

@@ -213,3 +213,45 @@ def test_serve_sampler_override_roundtrip(tmp_path):
     assert srv.model.diffusion.sample_steps == 3
     out = srv.sample(4)
     assert out.shape == (4, 28, 28, 1) and np.isfinite(out).all()
+
+
+def test_new_dg_flags_work_on_old_checkpoints(tmp_path):
+    """Regression: parse_args' weights_from branch only registered flags
+    present in the checkpoint's hps.yaml, so DG keys added after a
+    checkpoint was trained (e.g. --sample_steps) died with 'unrecognized
+    arguments'. They must resolve at the model's current defaults and be
+    overridable."""
+    import yaml
+
+    G, Model = parse_args(
+        [
+            '--model=diffusion_model', '--bs=4', '--hidden_size=16',
+            '--timesteps=8', '--bf16=0', f'--logdir={tmp_path}',
+        ],
+        discover_models=discover_models,
+    )
+    m = Model(G=G)
+    m.save(tmp_path)
+    from generative_models_tpu.utils.config import dump_hps
+
+    dump_hps(G, tmp_path)
+    # simulate a checkpoint from before the sampler flags existed
+    hp = tmp_path / 'hps.yaml'
+    d = yaml.load(hp.read_text(), Loader=yaml.Loader)
+    del d['sample_steps']
+    del d['sampler']
+    hp.write_text(yaml.dump(d))
+
+    G2, _ = parse_args(
+        [
+            f'--weights_from={tmp_path}/model.pt',
+            '--sampler=dpm2m', '--sample_steps=25',
+        ],
+        discover_models=discover_models,
+    )
+    assert G2.sampler == 'dpm2m' and G2.sample_steps == 25
+    G3, _ = parse_args(
+        [f'--weights_from={tmp_path}/model.pt'],
+        discover_models=discover_models,
+    )
+    assert G3.sampler == 'ddim' and G3.sample_steps == 0  # current defaults
