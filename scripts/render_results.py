@@ -102,6 +102,21 @@ def distill_table(distill):
     return '\n'.join(rows)
 
 
+def sampler_table(sweep):
+    rows = [
+        '| sampler | steps | FID | pixel-FID | cond-FID | 64-grid p50 (s) |',
+        '|---|---|---|---|---|---|',
+    ]
+    for r in sweep.get('rows', []):
+        rows.append(
+            f"| {r.get('sampler')} | {r.get('sample_steps')} |"
+            f" {fmt(r.get('fid'), 4)} | {fmt(r.get('ignite_fid'), 4)} |"
+            f" {fmt(r.get('cond_fid'), 4)} |"
+            f" {fmt(r.get('sample64_p50_sec'), 4)} |"
+        )
+    return '\n'.join(rows)
+
+
 def main():
     results, bench = load('RESULTS.json'), load('BENCH_EXTRA.json')
     distill, evalj = load('DISTILL.json'), load('EVAL.json')
@@ -155,6 +170,12 @@ def main():
                 f"Final epoch `{last}`: FID {fmt(e.get('fid'), 4)},"
                 f" precision {fmt(e.get('precision'))},"
                 f" recall {fmt(e.get('recall'))}, f1 {fmt(e.get('f1'))}.",
+            ]
+        sweep = evalj.get('fast_sampler_sweep')
+        if sweep:
+            parts += [
+                '', '## Fast samplers (FID vs steps, chip)', '',
+                sweep.get('description', ''), '', sampler_table(sweep),
             ]
         r50 = evalj.get('run_50_epochs')
         if r50:
