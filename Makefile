@@ -37,6 +37,10 @@ results:  # measured zoo quality tables (bits/dim, FID, P/R) -> RESULTS.json
 results-md:  # re-render docs/RESULTS.md from the checked-in artifacts
 	python scripts/render_results.py
 
+sampler-sweep:  # FID-vs-steps sweep for ddim/dpm2m -> EVAL.json fast_sampler_sweep
+	python scripts/sampler_sweep.py /tmp/sampler_sweep
+	python scripts/render_results.py
+
 results-catchup:  # after a chip outage: redo CPU-fallback rows on chip, refresh artifacts
 	bash scripts/chip_catchup.sh --force-cpu-redo
 
@@ -44,4 +48,4 @@ lint:
 	python -m compileall -q generative_models_tpu tests scripts bench.py __graft_entry__.py
 	python scripts/lint.py
 
-.PHONY: test test-fast test-parity-tpu parity-record bench lint arbiters distill results results-md results-catchup
+.PHONY: test test-fast test-parity-tpu parity-record bench lint arbiters distill results results-md results-catchup sampler-sweep

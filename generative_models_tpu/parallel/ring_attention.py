@@ -153,12 +153,34 @@ def ring_causal_attention(q, k, v, mesh=None, axis=None):
     ops.attention.xla_causal_attention (same math, distributed); gradients
     flow through the paired backward ring pass.
     """
-    from generative_models_tpu.parallel import SEQ_AXIS, get_mesh
+    from generative_models_tpu.parallel import DATA_AXIS, MODEL_AXIS, SEQ_AXIS, get_mesh
 
     mesh = mesh or get_mesh()
     axis = axis or SEQ_AXIS
     assert axis in mesh.axis_names, f'mesh {mesh.axis_names} lacks {axis!r}'
-    spec = P(None, None, axis, None)
+    # the body is embarrassingly parallel over batch and heads (only the
+    # sequence axis communicates), so map B over 'data' and H over 'model'
+    # when the mesh has them — a spec that leaves them unnamed means
+    # "replicated", and on a composed data x seq mesh GSPMD would have to
+    # all-gather the batch at the shard_map boundary (SPMD 'involuntary
+    # full rematerialization' warnings, wasted ICI) just to satisfy it.
+    # Shapes are static per trace: fall back to replicated when a dim
+    # doesn't divide its axis (e.g. the B=1 init trace).
+    names = mesh.axis_names
+
+    def axis_if(name, dim):
+        return (
+            name
+            if name in names and dim % mesh.shape[name] == 0
+            else None
+        )
+
+    spec = P(
+        axis_if(DATA_AXIS, q.shape[0]),
+        axis_if(MODEL_AXIS, q.shape[1]),
+        axis,
+        None,
+    )
     # check_vma=False: jax 0.9 cannot type interpret-mode pallas_call
     # bodies under the varying-manual-axes checker (jax suggests this
     # workaround in the error itself); the ring body is still fully

@@ -308,3 +308,31 @@ def test_fsdp_epoch_scan_matches_single_device():
     np.testing.assert_allclose(
         float(met['nlogp']), float(ref['nlogp']), rtol=1e-4
     )
+
+
+def test_dp_x_seq_transformer_matches_single_device():
+    """Composed data:2 x seq:4 mesh: batch shards over 'data' THROUGH the
+    ring shard_map (its specs map B over 'data' — a replicated-B spec
+    forces an involuntary all-gather at the boundary), sequence over the
+    ring. One train step must reproduce single-device numerics."""
+    from generative_models_tpu.models.pixel_transformer import PixelTransformer
+
+    x = jnp.asarray(
+        (np.random.RandomState(6).rand(4, 28, 28, 1) > 0.5).astype(np.float32)
+    )
+    set_mesh(make_mesh('data:2,seq:4', jax.devices()))
+    m_sp = PixelTransformer(_tp_G({'n_embed': 32, 'n_layer': 1, 'n_head': 4}))
+    assert m_sp.net.use_ring
+    met_sp = m_sp.train_step(x, None)
+    set_mesh(make_mesh('', jax.devices()[:1]))
+    m_1 = PixelTransformer(_tp_G({'n_embed': 32, 'n_layer': 1, 'n_head': 4}))
+    met_1 = m_1.train_step(x, None)
+    set_mesh(make_mesh('', jax.devices()))
+    np.testing.assert_allclose(
+        float(met_sp['nlogp']), float(met_1['nlogp']), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m_sp.params),
+        jax.tree_util.tree_leaves(m_1.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
