@@ -336,3 +336,25 @@ def test_dp_x_seq_transformer_matches_single_device():
         jax.tree_util.tree_leaves(m_1.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_tp_x_seq_transformer_matches_single_device():
+    """Composed model:2 x seq:4 mesh: Megatron TP shards the QKV heads over
+    'model' (the ring specs map H over it) while the ring shards T. One
+    train step must reproduce single-device numerics."""
+    from generative_models_tpu.models.pixel_transformer import PixelTransformer
+
+    x = jnp.asarray(
+        (np.random.RandomState(7).rand(4, 28, 28, 1) > 0.5).astype(np.float32)
+    )
+    set_mesh(make_mesh('model:2,seq:4', jax.devices()))
+    m_sp = PixelTransformer(_tp_G({'n_embed': 32, 'n_layer': 1, 'n_head': 4}))
+    assert m_sp.net.use_ring
+    met_sp = m_sp.train_step(x, None)
+    set_mesh(make_mesh('', jax.devices()[:1]))
+    m_1 = PixelTransformer(_tp_G({'n_embed': 32, 'n_layer': 1, 'n_head': 4}))
+    met_1 = m_1.train_step(x, None)
+    set_mesh(make_mesh('', jax.devices()))
+    np.testing.assert_allclose(
+        float(met_sp['nlogp']), float(met_1['nlogp']), rtol=1e-4
+    )
