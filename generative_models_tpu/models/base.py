@@ -115,6 +115,14 @@ class GM:
 
     DG = AttrDict()  # model-specific config defaults
 
+    # native range of sample()/sample_fn outputs. Models trained on [-1,1]
+    # data (GAN's tanh generator, diffusion's clip-to-[-1,1] x-prediction)
+    # override this so the SERVING surface (pure_serving_fn -> serve.py /
+    # jax.export artifacts) can normalize to the [0,1] display contract;
+    # training/eval paths keep the native range (eval_heavy compares
+    # samples against data in the same domain).
+    SAMPLE_RANGE = (0.0, 1.0)
+
     def __init__(self, G):
         self.G = G
         self._init_key = jax.random.key(G.get('seed', 0))
@@ -257,16 +265,27 @@ class GM:
         plain uint32 array rather than an opaque typed key. An optional
         flax interceptor (serve.py --quantize, ops/int8.py) rewrites module
         calls at trace time — it applies identically to the live server and
-        the exported artifact."""
+        the exported artifact. Output is normalized to [0, 1] regardless of
+        the model's native SAMPLE_RANGE, so servers and exported artifacts
+        are display-ready by construction."""
         state = self.state
 
         def fn(raw_key):
             rng = jax.random.wrap_key_data(raw_key)
             with intercept_ctx(interceptor):
                 out = self.sample_fn(state, n, rng)
-            return out[0] if isinstance(out, tuple) else out
+            out = out[0] if isinstance(out, tuple) else out
+            return self._serving_unit_range(out)
 
         return jax.jit(fn)
+
+    def _serving_unit_range(self, x):
+        """Map a sample batch from SAMPLE_RANGE to the serving [0,1]
+        contract (identity for models already in [0,1])."""
+        lo, hi = self.SAMPLE_RANGE
+        if (lo, hi) == (0.0, 1.0):
+            return x
+        return (x - lo) / (hi - lo)
 
     EVAL_RNG_TAG = 0x7FFFFFFF  # fold_in tag reserved for eval passes
 
@@ -409,7 +428,8 @@ class Autoreg(GM):
         def fn(raw_key):
             rng = jax.random.wrap_key_data(raw_key)
             with intercept_ctx(interceptor):
-                return self.sample_fn(state, n, rng, False)
+                out = self.sample_fn(state, n, rng, False)
+            return self._serving_unit_range(out)
 
         return jax.jit(fn)
 

@@ -25,6 +25,7 @@ from generative_models_tpu.utils.config import AttrDict
 @register
 class DiffusionModel(GM):
     DG = AttrDict()
+    SAMPLE_RANGE = (-1.0, 1.0)  # _predict clips x-hat to [-1,1]
     DG.binarize = 0
     DG.timesteps = 250
     DG.hidden_size = 128
@@ -273,7 +274,8 @@ class DiffusionModel(GM):
         def fn(raw_key, y):
             rng = jax.random.wrap_key_data(raw_key)
             with intercept_ctx(interceptor):
-                return self.sample_fn(state, n, y, rng)
+                out = self.sample_fn(state, n, y, rng)
+            return self._serving_unit_range(out)
 
         if not self.G.get('class_cond', 0):
             return jax.jit(

@@ -88,6 +88,7 @@ class GAN(GM):
     DG.noise_size = 128
     DG.lr = 5e-5
     DG.binarize = 0  # GAN trains on [-1,1] data (reference: gms/gans/gan.py:16)
+    SAMPLE_RANGE = (-1.0, 1.0)  # generator ends in tanh
 
     def build(self):
         return None  # two separate modules below

@@ -94,8 +94,10 @@ def png_encode(img):
 
 def tile_grid(x, cols=None):
     """(n, H, W, C) float [0,1] -> uint8 (rows*H, cols*W, C) grid, zero-
-    padding the last row (tiling delegated to utils/logger.py::grid_image)."""
-    from generative_models_tpu.utils.logger import grid_image
+    padding the last row (tiling and the float->uint8 conversion both
+    delegated to utils/logger.py so the PNG path and the TensorBoard grids
+    can never diverge)."""
+    from generative_models_tpu.utils.logger import _to_hwc_uint8, grid_image
 
     x = np.asarray(x, np.float32)
     n, h, w, c = x.shape
@@ -103,8 +105,7 @@ def tile_grid(x, cols=None):
     rows = int(np.ceil(n / cols))
     canvas = np.zeros((rows * cols, h, w, c), np.float32)
     canvas[:n] = x
-    grid = grid_image(canvas, rows, cols)
-    return (np.clip(grid, 0.0, 1.0) * 255).astype(np.uint8)
+    return _to_hwc_uint8(grid_image(canvas, rows, cols), expand=False)
 
 
 class _ServerBase:
@@ -113,11 +114,12 @@ class _ServerBase:
     Subclasses set .serve_bs/.class_cond and implement _run(seed, y_full)
     plus the 'model' field of stats()."""
 
-    def _init_serving(self, serve_bs, class_cond):
+    def _init_serving(self, serve_bs, class_cond, n_classes=10):
         import os
 
         self.serve_bs = int(serve_bs)
         self.class_cond = bool(class_cond)
+        self.n_classes = int(n_classes)  # valid labels: -1 (uncond) .. n-1
         self.quant_mode = ''   # '' | 'w8a8' | 'w8a16' (ops/int8.py)
         self.quant_kernels = 0
         self._lock = threading.Lock()
@@ -130,6 +132,8 @@ class _ServerBase:
         # request coalescing (enable_coalescing): dispatcher micro-batches
         # queued requests into one padded sampling pass
         self.coalesce_ms = 0.0
+        # backstop so a dispatcher death can never hang requests forever
+        self.coalesce_timeout_sec = 120.0
         self.coalesced_batches = 0
         self.coalesced_requests = 0
         self._queue = []
@@ -144,22 +148,36 @@ class _ServerBase:
         self.warm_sec = time.time() - t0
         return self.warm_sec
 
+    def _validate_y(self, y, n):
+        """Broadcast one request's labels to exactly n and range-check
+        them. A single label broadcasts to n; otherwise len(y) must equal
+        n — silent partial conditioning is refused. Values must sit in
+        [-1, n_classes): jax.nn.one_hot maps out-of-range labels to an
+        ALL-ZERO vector (unet.py one-hots against 10 classes), which would
+        silently degrade conditioning instead of erroring."""
+        y = np.asarray(y, np.int32).reshape(-1)
+        if len(y) == 1:
+            y = np.repeat(y, n)
+        if len(y) != n:
+            raise ValueError(f'len(y)={len(y)} must be 1 or n={n}')
+        if ((y < -1) | (y >= self.n_classes)).any():
+            raise ValueError(
+                f'labels must be in [-1, {self.n_classes}) '
+                '(-1 = unconditional); got '
+                f'{int(y.min())}..{int(y.max())}'
+            )
+        return y
+
     def _pad_y(self, y, n):
         """Labels for the full compiled batch: -1 (= unconditional) padding
-        beyond the request's n. A single label broadcasts to n; otherwise
-        len(y) must equal n — silent partial conditioning is refused."""
+        beyond the request's n."""
         if not self.class_cond:
             if y is not None:
                 raise ValueError('this server is unconditional; got y')
             return None
         full = -np.ones((self.serve_bs,), np.int32)
         if y is not None:
-            y = np.asarray(y, np.int32).reshape(-1)
-            if len(y) == 1:
-                y = np.repeat(y, n)
-            if len(y) != n:
-                raise ValueError(f'len(y)={len(y)} must be 1 or n={n}')
-            full[:n] = y
+            full[:n] = self._validate_y(y, n)
         return full
 
     def sample(self, n, y=None, seed=None):
@@ -173,8 +191,18 @@ class _ServerBase:
         When coalescing is on, unseeded sub-batch requests are queued and
         the dispatcher thread packs concurrent ones into a single padded
         sampling pass; seeded requests always run solo (the seed pins the
-        WHOLE batch, so a reproducible request cannot share it)."""
-        n = max(1, min(int(n), self.serve_bs))
+        WHOLE batch, so a reproducible request cannot share it).
+
+        n must fit the compiled batch: 1 <= n <= serve_bs. Oversized
+        requests are refused rather than silently truncated (the old clamp
+        returned fewer samples than asked, and rejected self-consistent
+        n>serve_bs requests with a misleading label-length error)."""
+        n = int(n)
+        if not 1 <= n <= self.serve_bs:
+            raise ValueError(
+                f'n={n} out of range [1, serve_bs={self.serve_bs}]; '
+                'restart with a larger --serve_bs for bigger batches'
+            )
         if self.coalesce_ms > 0 and seed is None and n < self.serve_bs:
             return self._sample_coalesced(n, y)
         y_full = self._pad_y(y, n)
@@ -217,27 +245,32 @@ class _ServerBase:
         with self._queue_cv:
             self._queue.append(req)
             self._queue_cv.notify_all()
-        req['done'].wait()
+        # bounded wait: if the dispatcher thread ever died, fail loudly
+        # instead of hanging this request (and the HTTP worker serving it)
+        # forever
+        if not req['done'].wait(timeout=self.coalesce_timeout_sec):
+            with self._queue_cv:
+                if req in self._queue:
+                    self._queue.remove(req)
+            raise RuntimeError(
+                f'coalesced request timed out after '
+                f'{self.coalesce_timeout_sec:.0f}s (dispatcher dead?)'
+            )
         if req['err'] is not None:
             raise req['err']
         return req['out']
 
     def _request_y(self, y, n):
-        """Validate/broadcast one request's labels to exactly n (or None).
-        Same rules as _pad_y, but per-slice: the dispatcher packs these at
-        each request's offset in the shared batch."""
+        """Per-request labels for the coalescing path (or None). Same
+        rules as _pad_y, but per-slice: the dispatcher packs these at each
+        request's offset in the shared batch."""
         if not self.class_cond:
             if y is not None:
                 raise ValueError('this server is unconditional; got y')
             return None
         if y is None:
             return None
-        y = np.asarray(y, np.int32).reshape(-1)
-        if len(y) == 1:
-            y = np.repeat(y, n)
-        if len(y) != n:
-            raise ValueError(f'len(y)={len(y)} must be 1 or n={n}')
-        return y
+        return self._validate_y(y, n)
 
     def _take_batch(self):
         """Under the queue cv: block for the first request, then keep
@@ -247,7 +280,10 @@ class _ServerBase:
         with self._queue_cv:
             while not self._queue:
                 self._queue_cv.wait()
-            deadline = time.time() + self.coalesce_ms / 1e3
+            # anchor the window at the OLDEST queued request's arrival, not
+            # at dispatcher pickup: requests that already waited through a
+            # previous sampling pass shouldn't pay a second full window
+            deadline = self._queue[0]['t0'] + self.coalesce_ms / 1e3
 
             def packable():
                 used, take = 0, []
@@ -269,17 +305,20 @@ class _ServerBase:
             return take
 
     def _dispatch_loop(self):
+        # EVERY step after _take_batch sits inside the try: an exception
+        # anywhere (label packing included) is delivered to the batch's
+        # waiters instead of silently killing the dispatcher thread
         while True:
             batch = self._take_batch()
-            y_full = None
-            if self.class_cond:
-                y_full = -np.ones((self.serve_bs,), np.int32)
-                off = 0
-                for r in batch:
-                    if r['y'] is not None:
-                        y_full[off:off + r['n']] = r['y']
-                    off += r['n']
             try:
+                y_full = None
+                if self.class_cond:
+                    y_full = -np.ones((self.serve_bs,), np.int32)
+                    off = 0
+                    for r in batch:
+                        if r['y'] is not None:
+                            y_full[off:off + r['n']] = r['y']
+                        off += r['n']
                 with self._lock:
                     # count every request (stats parity with the solo path);
                     # the sum stays monotonic, so the salted seed stream
@@ -404,9 +443,6 @@ class SampleServer(_ServerBase):
         import jax
         from jax import export as jexport
 
-        fn = self.model.pure_serving_fn(
-            self.serve_bs, interceptor=self._interceptor
-        )
         raw = jax.random.key_data(jax.random.key(0))
         if self.class_cond:
             import jax.numpy as jnp
@@ -414,7 +450,10 @@ class SampleServer(_ServerBase):
             args = (raw, -jnp.ones((self.serve_bs,), jnp.int32))
         else:
             args = (raw,)
-        data = jexport.export(fn)(*args).serialize()
+        # export the LIVE server's compiled fn (self._call), not a rebuilt
+        # one: no duplicate trace, and "the exported graph IS the served
+        # graph" holds by construction rather than by coincidence
+        data = jexport.export(self._call)(*args).serialize()
         Path(path).write_bytes(data)
         return len(data)
 
@@ -465,7 +504,9 @@ def _http_serve(server, port, host='127.0.0.1'):
             if url.path == '/sample':
                 q = parse_qs(url.query)
                 try:
-                    n = int(q.get('n', ['25'])[0])
+                    # default n never exceeds the compiled batch
+                    n_default = str(min(25, server.serve_bs))
+                    n = int(q.get('n', [n_default])[0])
                     seed = int(q['seed'][0]) if 'seed' in q else None
                     y = (
                         [int(v) for v in q['y'][0].split(',')]
@@ -478,6 +519,14 @@ def _http_serve(server, port, host='127.0.0.1'):
                     imgs = server.sample(n, y=y, seed=seed)
                 except ValueError as e:
                     return self._send(400, 'text/plain', str(e).encode())
+                except Exception as e:  # noqa: broad, last HTTP hop
+                    # a failed sampling pass (e.g. a coalesced batch's
+                    # delivered RuntimeError) must surface as a 500, not
+                    # as a torn connection from BaseHTTPRequestHandler
+                    return self._send(
+                        500, 'text/plain',
+                        f'sampling failed: {e}'.encode(),
+                    )
                 png = png_encode(tile_grid(imgs))
                 return self._send(200, 'image/png', png)
             return self._send(404, 'text/plain', b'try /healthz or /sample')
@@ -546,7 +595,11 @@ def main(argv=None):
         print(f'serving on {G.host}:{G.port} (/healthz, /sample?n=16&y=3)', flush=True)
         httpd.serve_forever()
         return
-    imgs = server.sample(int(G.n))
+    n = int(G.n)
+    if n > server.serve_bs:
+        print(f'--n={n} exceeds --serve_bs={server.serve_bs}; clamping')
+        n = server.serve_bs
+    imgs = server.sample(n)
     png = png_encode(tile_grid(imgs))
     Path(G.out).write_bytes(png)
     print(json.dumps(server.stats()))

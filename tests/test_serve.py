@@ -4,6 +4,7 @@ tiler, padded static-batch SampleServer, and the HTTP front end."""
 import json
 import struct
 import threading
+import time
 import urllib.request
 import zlib
 
@@ -78,10 +79,13 @@ def test_sample_server_pads_and_slices(made_server):
     out = made_server.sample(3)
     assert out.shape == (3, 28, 28, 1)
     assert 0.0 <= out.min() and out.max() <= 1.0
-    # n > serve_bs clamps to the compiled batch
-    assert made_server.sample(99).shape == (4, 28, 28, 1)
+    # n outside [1, serve_bs] is refused, not silently truncated
+    with pytest.raises(ValueError, match='out of range'):
+        made_server.sample(99)
+    with pytest.raises(ValueError, match='out of range'):
+        made_server.sample(0)
     st = made_server.stats()
-    assert st['requests'] == 2 and st['latency_p50_sec'] > 0
+    assert st['requests'] == 1 and st['latency_p50_sec'] > 0
 
 
 def test_http_endpoints(made_server):
@@ -134,8 +138,10 @@ def test_export_artifact_roundtrip(made_server, tmp_path):
 
 
 def test_export_conditional_diffusion(tmp_path):
-    """Conditional export: the artifact takes (raw_key, y) and the padded
-    label path works through ExportedServer.sample."""
+    """Conditional export: the artifact takes (raw_key, y), the padded
+    label path works through ExportedServer.sample, and the served range
+    is the [0,1] display contract (diffusion natively samples in [-1,1] —
+    SAMPLE_RANGE normalization must be baked into the artifact)."""
     from generative_models_tpu.models.diffusion.model import DiffusionModel
     from generative_models_tpu.serve import ExportedServer, SampleServer
     from generative_models_tpu.utils.config import global_defaults
@@ -157,6 +163,10 @@ def test_export_conditional_diffusion(tmp_path):
     assert exp.class_cond and exp.serve_bs == 4
     out = exp.sample(2, y=[3])
     assert out.shape == (2, 28, 28, 1)
+    # [-1,1]-native samples arrive rescaled to [0,1]: nothing below 0 and
+    # a mid-gray mean, NOT half the range crushed to black
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert 0.2 < out.mean() < 0.8
 
 
 def test_serve_cli_one_shot(tmp_path):
@@ -389,6 +399,95 @@ def test_coalescing_end_to_end_real_model():
     st = srv.stats()
     assert st['coalesced_requests'] >= 3  # at least one real coalesce
     assert st['coalesced_batches'] < 4
+
+
+def test_gan_serving_range_rescaled():
+    """GAN's tanh generator samples in [-1,1]; the serving surface must
+    deliver [0,1] (regression: tile_grid's clip(0,1) used to crush every
+    pixel <= 0 to black for GAN/diffusion)."""
+    from generative_models_tpu.models.gan import GAN
+    from generative_models_tpu.utils.config import global_defaults
+
+    G = global_defaults()
+    G.model = 'gan'
+    for k, v in GAN.DG.items():
+        G[k] = v
+    G.bs = 4
+    G.hidden_size = 16
+    srv = SampleServer(GAN(G), serve_bs=4)
+    out = srv.sample(4, seed=0)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # untrained tanh outputs are centered near 0 -> mid-gray after rescale;
+    # the old crushed path would give mean ~= half the positive mass only
+    assert 0.2 < out.mean() < 0.8
+
+
+def test_labels_range_validated():
+    """Out-of-range labels are a 400-class error, not silent all-zero
+    one-hot conditioning (unet.py one-hots against 10 classes)."""
+    from generative_models_tpu.serve import _ServerBase
+
+    class Fake(_ServerBase):
+        def __init__(self):
+            self._init_serving(8, True)
+
+    f = Fake()
+    for bad in ([10], [-2], [3, 10, 4]):
+        with pytest.raises(ValueError, match='labels must be in'):
+            f._pad_y(bad, len(bad))
+    # boundary values are fine: -1 (unconditional) and n_classes-1
+    assert list(f._pad_y([-1, 9], 2)[:2]) == [-1, 9]
+
+
+def test_coalesced_wait_times_out_when_dispatcher_dead():
+    """A queued request whose dispatcher never answers fails loudly after
+    coalesce_timeout_sec instead of hanging its thread forever."""
+    srv = _stub_server(4, False)
+    srv.coalesce_ms = 50.0  # coalescing "on" but NO dispatcher thread
+    srv.coalesce_timeout_sec = 0.2
+    with pytest.raises(RuntimeError, match='timed out'):
+        srv.sample(2)
+    assert not srv._queue  # the dead request was dequeued
+
+
+def test_coalescing_window_anchored_at_enqueue_time():
+    """The batching window starts at the oldest request's arrival: a
+    request that already out-waited the window dispatches immediately at
+    dispatcher pickup (pickup-anchored code would stall one more full
+    window)."""
+    srv = _stub_server(4, False)
+    srv.coalesce_ms = 3000.0  # queue the request; dispatcher started below
+    out = {}
+    t = threading.Thread(target=lambda: out.setdefault('v', srv.sample(2)))
+    t.start()
+    while True:
+        with srv._queue_cv:
+            if srv._queue:
+                break
+    time.sleep(3.5)  # the request has now waited longer than the window
+    t0 = time.time()
+    srv.enable_coalescing(3000.0)
+    t.join(timeout=30)
+    assert out['v'].shape == (2, 1, 1, 1)
+    assert time.time() - t0 < 1.5  # no second full window
+
+
+def test_http_500_on_sampling_failure():
+    """A non-ValueError sampling failure surfaces as an HTTP 500, not a
+    torn connection."""
+    srv = _stub_server(4, False)
+    srv.fail = True
+    httpd = _http_serve(srv, 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(f'http://127.0.0.1:{port}/sample?n=2')
+        assert exc_info.value.code == 500
+        assert b'chip exploded' in exc_info.value.read()
+    finally:
+        httpd.shutdown()
 
 
 def test_serving_under_tp_mesh_matches_single_device():
