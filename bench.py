@@ -55,7 +55,7 @@ _watchdog.cancel()
 # (the diffusion CFG sampler alone is minutes); with the cache a bench re-run
 # (the driver runs one at every round end) skips straight to execution.
 # Opt out with GMT_BENCH_NO_CACHE=1 to force a cold-compile measurement.
-if not os.environ.get('GMT_BENCH_NO_CACHE'):
+if os.environ.get('GMT_BENCH_NO_CACHE', '').lower() in ('', '0', 'false'):
     _CACHE_DIR = os.environ.get('GMT_BENCH_CACHE', '/tmp/gmt_xla_cache')
     jax.config.update('jax_compilation_cache_dir', _CACHE_DIR)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
