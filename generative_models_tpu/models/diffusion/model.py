@@ -52,6 +52,15 @@ class DiffusionModel(GM):
     # (0.84s vs 0.98s per 64-image grid) — the doubled working set costs
     # more than the saved launches at MNIST scale; flip for larger models.
     DG.fused_cfg = 0
+    # eval_heavy-only sampler override: the >=500-sample FID sweep is
+    # dominated by the 250-step DDIM chain (13.4s/heavy eval, EVAL.json);
+    # the ODE solvers reach near-identical metrics in ~25 steps (measured
+    # drift: EVAL.json fast_sampler_sweep + eval_heavy_fast). Defaults keep
+    # eval_heavy reference-faithful ('' / 0 = use --sampler /
+    # --sample_steps); evaluate()'s grids/videos always use the primary
+    # sampler. Reference flow: gms/main.py:96-149.
+    DG.eval_sampler = ''
+    DG.eval_sample_steps = 0
 
     def __init__(self, G):
         self.size = 32 if G.get('pad32', 0) else 28
@@ -73,6 +82,25 @@ class DiffusionModel(GM):
             self._load_teacher(G.teacher_path)
         self._jit_sample = jax.jit(self.sample_fn, static_argnums=1)
         self._jit_sample_chain = jax.jit(self.sample_chain_fn)
+        ev_sampler = G.get('eval_sampler', '') or G.sampler
+        ev_steps = int(G.get('eval_sample_steps', 0)) or int(
+            G.get('sample_steps', 0)
+        )
+        self._eval_diffusion = None
+        if (ev_sampler, ev_steps) != (G.sampler, int(G.get('sample_steps', 0))):
+            self._eval_diffusion = GaussianDiffusion(
+                mean_type=G.mean_type,
+                num_steps=G.timesteps,
+                sampler=ev_sampler,
+                has_teacher=self.has_teacher,
+                teacher_mode=G.teacher_mode,
+                sample_cond_w=G.sample_cond_w,
+                fused_cfg=bool(G.get('fused_cfg', 0)),
+                sample_steps=ev_steps,
+            )
+            self._jit_eval_sample = jax.jit(
+                self._eval_sample_fn, static_argnums=1
+            )
 
     def build(self):
         return SimpleUnet(
@@ -263,6 +291,28 @@ class DiffusionModel(GM):
             y = -jnp.ones((n,), jnp.int32)
         y = jnp.asarray(y, jnp.int32)
         return self._jit_sample(self.state, n, y, self.next_rng())
+
+    def _eval_sample_fn(self, state, n, y, rng):
+        """sample_fn routed through the --eval_sampler/--eval_sample_steps
+        chain (eval_heavy only; same cond_w flag quirk as sample_fn)."""
+        rng_noise, rng_chain = jax.random.split(rng)
+        noise = jax.random.normal(rng_noise, (n, self.size, self.size, 1))
+        net = self._make_net(self._sample_params(state), y)
+        teacher_net = None
+        if self.has_teacher:
+            teacher_net = self._make_net(state.extra['teacher'], y)
+        return self._eval_diffusion.sample(
+            net=net, init_x=noise, rng=rng_chain, cond_w=0.5,
+            teacher_net=teacher_net, return_history=False,
+        )
+
+    def sample_images(self, n, y=None):
+        if self._eval_diffusion is None:
+            return super().sample_images(n, y=y)
+        if y is None:
+            y = -jnp.ones((n,), jnp.int32)
+        y = jnp.asarray(y, jnp.int32)
+        return self._jit_eval_sample(self.state, n, y, self.next_rng())
 
     def pure_serving_fn(self, n, interceptor=None):
         """Conditional serving export: (raw_key, y) -> samples (y = -1 for
