@@ -40,23 +40,29 @@ EXTRA = {
 # comparable quantity)
 KEY_OVERRIDE = {'vqvae': 'recon_loss'}
 # converged-window relative tolerance (how much WORSE than the reference we
-# may be; being better always passes)
+# may be; being better always passes). Round-4 tightening (VERDICT r3 item
+# 9): set from the chip-recorded full-length curves (parity_ours_tpu.json)
+# AND the live capped prefixes — each value is the worst measured excess
+# plus ~0.05-0.10 slack (measured excesses: made -0.02, rnn -0.32, wavenet
+# -0.10, pixel_cnn -0.29, gated +0.18, transformer -0.05, vae +0.06, vqvae
+# -0.04, diffusion +0.09, autoencoder +0.01, classifier -0.25).
 TOL = {
-    'made': 0.10,
-    'rnn': 0.15,
-    'wavenet': 0.20,
-    'pixel_cnn': 0.15,
-    'gated_pixel_cnn': 0.20,
-    'pixel_transformer': 0.20,
-    'vae': 0.20,
-    'vqvae': 0.25,
-    'diffusion': 0.35,
-    'autoencoder': 0.40,
-    'classifier': 0.30,
+    'made': 0.05,
+    'rnn': 0.10,
+    'wavenet': 0.10,
+    'pixel_cnn': 0.10,
+    'gated_pixel_cnn': 0.20,  # +0.18 measured: no headroom to tighten
+    'pixel_transformer': 0.10,
+    'vae': 0.12,
+    'vqvae': 0.10,
+    'diffusion': 0.18,
+    'autoencoder': 0.10,
+    'classifier': 0.15,
 }
 # oscillating metrics (GAN disc loss has no 'lower is better'): assert a
 # two-sided band around the reference level instead of one-sided tolerance
-BAND = {'gan': 3.0}
+# (tightened 3.0 -> 2.5; recorded full-length ratio is 1.85x)
+BAND = {'gan': 2.5}
 # CPU-runtime caps: run only this many steps, compare against the same-length
 # prefix of the reference curve (XLA-CPU convs are seconds-to-minutes/step
 # for the conv models). Every model is compared on >= 20 aligned steps; the
