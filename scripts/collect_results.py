@@ -44,6 +44,18 @@ def model_results(logdir, model):
     if 'dt/train' in tags:
         out['train_total_sec'] = sum(e.value for e in acc.Scalars('dt/train'))
         out['epochs_trained'] = len(acc.Scalars('dt/train'))
+    # early-stopped optimum: the fallback-digits dataset has a ~1.5k-image
+    # base set, so high-capacity models (the conv ARs especially) reach
+    # their best test bpd within a few epochs and then overfit — the
+    # final-epoch value alone misrepresents model quality (round-4
+    # conv-AR-anomaly finding, docs/RESULTS.md)
+    if 'eval/bits_per_dim' in tags:
+        bpds = acc.Scalars('eval/bits_per_dim')
+        trained = [e for e in bpds if e.step > 0]  # step 0 = untrained
+        if trained:
+            best = min(trained, key=lambda e: e.value)
+            out['bits_per_dim_best'] = best.value
+            out['bits_per_dim_best_epoch'] = best.step
     # first heavy eval (epoch 0, untrained) vs last, to show learning
     if 'eval/fid' in tags:
         fids = acc.Scalars('eval/fid')
