@@ -229,6 +229,12 @@ class GM:
     # ------------------------------------------------------------------ #
     # pure step functions (jitted once in __init__)
     # ------------------------------------------------------------------ #
+    def transform_grads(self, grads):
+        """Hook between autodiff and the optimizer (default: identity).
+        MADE masks its weight grads here so the params can stay pre-masked
+        at rest (ops/masked_dense.py premasked mode)."""
+        return grads
+
     def train_step_fn(self, state, x, y):
         """Default single-optimizer step (reference: gms/common.py:158-169)."""
         x = constrain_batch(x)
@@ -237,7 +243,7 @@ class GM:
             state.params, x, y, rng, True
         )
         updates, opt_state = self.make_optimizer().update(
-            grads, state.opt_state, state.params
+            self.transform_grads(grads), state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
         return (

@@ -42,31 +42,54 @@ def create_made_masks(nin, hidden_sizes, seed=42):
 
 
 class MaskedMLP(nn.Module):
-    """ReLU MLP whose every Dense is a Pallas masked matmul."""
+    """ReLU MLP whose every Dense is a masked matmul.
+
+    premasked=True (the training default): the mask lives IN the weights —
+    masked-out entries are zeroed at init and kept zero by masking the
+    gradients before Adam (GM.transform_grads), so the forward/backward are
+    plain matmuls with ZERO mask traffic. The fold-the-mask / Pallas paths
+    materialize (or VMEM-fuse) mask*W on every forward AND backward — at
+    MADE's default shapes that was ~6 weight-sized HBM sweeps per step of
+    pure mask overhead (the made MFU-tail row, docs/PERF.md). Mathematically
+    identical: masked entries contribute 0 either way."""
 
     hidden_sizes: tuple
     nout: int
     masks: tuple  # len(hidden_sizes)+1 masks, each (in, out)
     use_pallas: bool = True
+    premasked: bool = False
 
     @nn.compact
     def __call__(self, x):
         sizes = (*self.hidden_sizes, self.nout)
         for i, out_n in enumerate(sizes):
-            w = self.param(
-                f'w{i}', nn.initializers.lecun_normal(), (x.shape[-1], out_n)
-            )
+            init = nn.initializers.lecun_normal()
+            if self.premasked:
+                init = _masked_init(init, self.masks[i])
+            w = self.param(f'w{i}', init, (x.shape[-1], out_n))
             b = self.param(f'b{i}', nn.initializers.zeros, (out_n,))
-            x = masked_dense(x, w, b, self.masks[i], self.use_pallas)
+            if self.premasked:
+                x = x @ w + b
+            else:
+                x = masked_dense(x, w, b, self.masks[i], self.use_pallas)
             if i < len(sizes) - 1:
                 x = nn.relu(x)
         return x
+
+
+def _masked_init(base_init, mask):
+    def init(key, shape, dtype=jnp.float32):
+        return base_init(key, shape, dtype) * mask.astype(dtype)
+
+    return init
 
 
 @register
 class MADE(Autoreg):
     DG = AttrDict()
     DG.hidden_size = 1024
+    DG.premasked = 1  # masks live in the weights (see MaskedMLP); 0 = the
+    # fold-the-mask / Pallas-kernel paths (for A/B measurement)
 
     def __init__(self, G):
         self.nin = self.nout = (32 * 32) if G.get('pad32', 0) else 784
@@ -81,6 +104,16 @@ class MADE(Autoreg):
         from generative_models_tpu.ops import on_tpu
         from generative_models_tpu.ops.masked_dense import prefer_pallas
 
+        if int(self.G.get('premasked', 1)):
+            # default: masks folded into the weights at rest (zero per-step
+            # mask traffic); --premasked=0 keeps the fold/Pallas paths for
+            # A/B measurement
+            return MaskedMLP(
+                hidden_sizes=self.hidden_sizes,
+                nout=self.nout,
+                masks=self.masks,
+                premasked=True,
+            )
         # shape gate: at the default 784x1024 layers, XLA's fold-the-mask
         # matmul measured faster than the Pallas kernel; the kernel wins
         # once materializing mask*W per step dominates (large widths)
@@ -100,6 +133,39 @@ class MADE(Autoreg):
 
     def example_input(self):
         return jnp.zeros((1, self.nin), jnp.float32)
+
+    # --- premasked-weight invariant (masked-out entries stay exactly 0) ---
+    def _mask_wdict(self, d):
+        """Apply the layer masks to the w0..wN entries of a param-shaped
+        dict (grads, params, or Adam moment trees)."""
+        out = dict(d)
+        for i, m in enumerate(self.masks):
+            key = f'w{i}'
+            if key in out:
+                out[key] = out[key] * m.astype(out[key].dtype)
+        return out
+
+    def transform_grads(self, grads):
+        if not getattr(self.net, 'premasked', False):
+            return grads
+        return self._mask_wdict(grads)
+
+    def load_weights(self, path):
+        """Old checkpoints (premasked=0 runs) carry unused random values in
+        the masked weight positions and live Adam moments there; zero both
+        so the premasked forward stays exact."""
+        super().load_weights(path)
+        if not getattr(self.net, 'premasked', False):
+            return
+        is_pdict = lambda x: isinstance(x, dict) and 'w0' in x  # noqa: E731
+        self.state = self.state.replace(
+            params=self._mask_wdict(self.state.params),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: self._mask_wdict(x) if is_pdict(x) else x,
+                self.state.opt_state,
+                is_leaf=is_pdict,
+            ),
+        )
 
     def loss(self, params, x, y=None, rng=None, train=True):
         x = x.reshape(-1, self.nin)
