@@ -146,6 +146,34 @@ class Block(nn.Module):
         x_t = x_t + self._mlp(self.ln2(x_t))
         return x_t, kv_cache
 
+    def fused_layer_params(self):
+        """Raw param bundle for ops/decode_fused.fused_decode_layer (the
+        whole-Block-in-one-kernel decode path). The QKV concat is
+        loop-invariant, so XLA hoists it out of the sampling scan."""
+        ap = self.attn
+        wq, wk, wv = (
+            m.variables['params']['kernel']
+            for m in (ap.query, ap.key, ap.value)
+        )
+        bq, bk, bv = (
+            m.variables['params']['bias']
+            for m in (ap.query, ap.key, ap.value)
+        )
+        return dict(
+            ln1_scale=self.ln1.variables['params']['scale'],
+            ln1_bias=self.ln1.variables['params']['bias'],
+            wqkv=jnp.concatenate([wq, wk, wv], 1),
+            bqkv=jnp.concatenate([bq, bk, bv]),
+            wproj=ap.proj.variables['params']['kernel'],
+            bproj=ap.proj.variables['params']['bias'],
+            ln2_scale=self.ln2.variables['params']['scale'],
+            ln2_bias=self.ln2.variables['params']['bias'],
+            wfc1=self.fc1.variables['params']['kernel'],
+            bfc1=self.fc1.variables['params']['bias'],
+            wfc2=self.fc2.variables['params']['kernel'],
+            bfc2=self.fc2.variables['params']['bias'],
+        )
+
 
 class TransformerNet(nn.Module):
     """Decoder-only transformer with Binary or Categorical head. The input is
@@ -168,6 +196,9 @@ class TransformerNet(nn.Module):
     use_ring: bool = False
     use_pipe: bool = False
     pipe_stages: int = 1
+    use_fused_decode: bool = False  # one Pallas kernel per Block per decode
+    # step (ops/decode_fused.py) — collapses the ~30-op latency-bound XLA
+    # chain; engaged on TPU for the dense-MLP config (not pipe/ring/MoE)
     remat: bool = False  # --remat: recompute each Block in the backward
     # instead of caching its activations (jax.checkpoint) — trades ~1/3 more
     # FLOPs for O(n_layer) less HBM, the standard TPU recipe for long
@@ -260,8 +291,20 @@ class TransformerNet(nn.Module):
         return self.head_layer(self.ln_f(h))
 
     def init_cache(self, batch):
+        from generative_models_tpu.models.base import interception_active
         from generative_models_tpu.ops.attention import decode_cache_dtype
 
+        if self.use_fused_decode and not interception_active():
+            # fused kernel path: separate (T, B, C) K and V caches (the
+            # packed layout's size-2 dim would tile-pad 4x in VMEM)
+            shape = (self.block_size, batch, self.n_embed)
+            return [
+                (
+                    jnp.zeros(shape, decode_cache_dtype()),
+                    jnp.zeros(shape, decode_cache_dtype()),
+                )
+                for _ in range(self.n_layer)
+            ]
         shape = (self.block_size, batch, 2, self.n_embed)
         if self.use_pipe:
             return jnp.zeros((self.n_layer, *shape), decode_cache_dtype())
@@ -271,7 +314,28 @@ class TransformerNet(nn.Module):
 
     def decode_step(self, prev_token, caches, t):
         """prev_token: (B, in_size) (zeros at t=0); returns (logits_t, caches)."""
+        from generative_models_tpu.models.base import interception_active
+
         h = self.embed(prev_token) + self.pos_emb[0, t]
+        if self.use_fused_decode and not interception_active():
+            from generative_models_tpu.ops.decode_fused import (
+                fused_decode_layer, ln_matmul,
+            )
+
+            new_caches = []
+            for block, (kc, vc) in zip(self.blocks, caches):
+                h, k_t, v_t = fused_decode_layer(
+                    h, kc, vc, t, block.fused_layer_params(), self.n_head
+                )
+                kc = jax.lax.dynamic_update_slice(kc, k_t[None], (t, 0, 0))
+                vc = jax.lax.dynamic_update_slice(vc, v_t[None], (t, 0, 0))
+                new_caches.append((kc, vc))
+            hp = self.head_layer.variables['params']['Dense_0']
+            lf = self.ln_f.variables['params']
+            logits = ln_matmul(
+                h, lf['scale'], lf['bias'], hp['kernel'], hp['bias']
+            )
+            return logits, new_caches
         if self.use_pipe:
             blk = self._block()
 
@@ -357,6 +421,8 @@ class PixelTransformer(Autoreg):
     DG.n_head = 4
     DG.n_embed = 128
     DG.lr = 1e-3
+    DG.fused_decode = 1  # whole-Block-per-kernel sampling (ops/decode_fused.py;
+    # TPU only); 0 = the per-op XLA decode chain (A/B and debug)
     # --- MoE extension (models/moe.py; 0 = the reference's dense MLP) ---
     DG.moe_experts = 0
     DG.moe_cap = 2.0   # per-expert capacity factor (cap = T/E * this)
@@ -388,6 +454,7 @@ class PixelTransformer(Autoreg):
             PIPE_AXIS in mesh.axis_names
             and self.G.n_layer % mesh.shape[PIPE_AXIS] == 0
         )
+        n_experts = int(self.G.get('moe_experts', 0))
         return TransformerNet(
             in_size=1,
             block_size=self.block_size,
@@ -399,8 +466,13 @@ class PixelTransformer(Autoreg):
             use_ring=use_ring,
             use_pipe=use_pipe,
             pipe_stages=mesh.shape[PIPE_AXIS] if use_pipe else 1,
+            use_fused_decode=(
+                on_tpu()
+                and bool(self.G.get('fused_decode', 1))
+                and not (use_ring or use_pipe or n_experts)
+            ),
             remat=bool(self.G.get('remat', 0)),
-            n_experts=int(self.G.get('moe_experts', 0)),
+            n_experts=n_experts,
             moe_cap=float(self.G.get('moe_cap', 2.0)),
         )
 
