@@ -48,30 +48,38 @@ class Generator(nn.Module):
 
 
 class Discriminator(nn.Module):
-    """28x28 -> real/fake logit (gms/gans/gan.py:92-112 geometry)."""
+    """28x28 -> real/fake logit (gms/gans/gan.py:92-112 geometry).
+
+    spectral=True (--spectral_norm=1, default off => reference-exact):
+    every conv is wrapped in flax SpectralNorm (power-iteration u vectors
+    ride the same 'batch_stats' collection as the BatchNorms), the standard
+    Lipschitz stabilizer for small-GAN training."""
 
     hidden: int
+    spectral: bool = False
+
+    def _conv(self, x, features, stride, train):
+        conv = nn.Conv(
+            features, (3, 3), strides=stride, padding='VALID',
+            kernel_init=dcgan_normal_init(),
+        )
+        if self.spectral:
+            return nn.SpectralNorm(conv)(x, update_stats=train)
+        return conv(x)
 
     @nn.compact
     def __call__(self, x, train=True):
         H = self.hidden
-        x = nn.Conv(
-            H, (3, 3), strides=2, padding='VALID', kernel_init=dcgan_normal_init()
-        )(x)
+        x = self._conv(x, H, 2, train)
         x = nn.leaky_relu(x, 0.01)
         for stride in [2, 1]:
-            x = nn.Conv(
-                H, (3, 3), strides=stride, padding='VALID',
-                kernel_init=dcgan_normal_init(),
-            )(x)
+            x = self._conv(x, H, stride, train)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9,
                 scale_init=dcgan_normal_init(),
             )(x)
             x = nn.leaky_relu(x, 0.01)
-        x = nn.Conv(
-            1, (3, 3), strides=2, padding='VALID', kernel_init=dcgan_normal_init()
-        )(x)
+        x = self._conv(x, 1, 2, train)
         return x.reshape(x.shape[0])  # logits
 
 
@@ -88,6 +96,10 @@ class GAN(GM):
     DG.noise_size = 128
     DG.lr = 5e-5
     DG.binarize = 0  # GAN trains on [-1,1] data (reference: gms/gans/gan.py:16)
+    # opt-in stabilizers (both default-off => reference-exact training):
+    DG.disc_lr = 0.0  # TTUR: separate discriminator lr (0 = --lr for both);
+    # the usual recipe is disc_lr ~= 4x gen lr (Heusel et al. 2017)
+    DG.spectral_norm = 0  # spectral-normalize the discriminator convs
     SAMPLE_RANGE = (-1.0, 1.0)  # generator ends in tanh
 
     def build(self):
@@ -95,7 +107,9 @@ class GAN(GM):
 
     def __init__(self, G):
         self.gen = Generator(hidden=G.hidden_size)
-        self.disc = Discriminator(hidden=G.hidden_size)
+        self.disc = Discriminator(
+            hidden=G.hidden_size, spectral=bool(G.get('spectral_norm', 0))
+        )
         super().__init__(G)
         self.fixed_noise = jax.random.normal(
             jax.random.key(G.get('seed', 0) + 7), (25, G.noise_size)
@@ -105,6 +119,10 @@ class GAN(GM):
     def make_optimizer(self):
         return optax.adam(self.G.lr, b1=0.5, b2=0.999)
 
+    def make_disc_optimizer(self):
+        lr = float(self.G.get('disc_lr', 0.0)) or self.G.lr
+        return optax.adam(lr, b1=0.5, b2=0.999)
+
     def init_state(self, rng):
         g_rng, d_rng, s_rng = jax.random.split(rng, 3)
         size = 32 if self.G.get('pad32', 0) else 28
@@ -112,8 +130,10 @@ class GAN(GM):
         d_vars = self.disc.init(d_rng, jnp.zeros((1, size, size, 1)), train=False)
         params = {'gen': g_vars['params'], 'disc': d_vars['params']}
         stats = {'gen': g_vars['batch_stats'], 'disc': d_vars['batch_stats']}
-        opt = self.make_optimizer()
-        opt_state = {'gen': opt.init(params['gen']), 'disc': opt.init(params['disc'])}
+        opt_state = {
+            'gen': self.make_optimizer().init(params['gen']),
+            'disc': self.make_disc_optimizer().init(params['disc']),
+        }
         return TrainState(
             params=params, opt_state=opt_state, step=jnp.int32(0), rng=s_rng, extra=stats
         )
@@ -133,6 +153,7 @@ class GAN(GM):
     def train_step_fn(self, state, x, y=None):
         """Twin-optimizer step (reference: gms/gans/gan.py:27-54), one jit."""
         opt = self.make_optimizer()
+        d_opt_tx = self.make_disc_optimizer()
         rng = jax.random.fold_in(state.rng, state.step)
         bs = x.shape[0]
         noise = jax.random.normal(rng, (bs, self.G.noise_size))
@@ -155,7 +176,9 @@ class GAN(GM):
         (d_loss, (loss_real, loss_fake, d_stats)), d_grads = jax.value_and_grad(
             disc_loss_fn, has_aux=True
         )(params['disc'])
-        d_updates, d_opt = opt.update(d_grads, opt_state['disc'], params['disc'])
+        d_updates, d_opt = d_opt_tx.update(
+            d_grads, opt_state['disc'], params['disc']
+        )
         d_params = optax.apply_updates(params['disc'], d_updates)
 
         # --- generator step (against the UPDATED discriminator) ---

@@ -100,3 +100,33 @@ def test_diffusion_loss_curve(batches):
     np.testing.assert_allclose(
         float(mets['loss']), GOLDEN['diffusion'], rtol=5e-3
     )
+
+
+def test_gan_stabilizers_optin(batches):
+    """--spectral_norm/--disc_lr (default-off; the golden test above pins
+    default behavior unchanged): SN must add power-iteration vectors to the
+    disc batch_stats and both stabilized losses must stay finite over the
+    fixed epoch; TTUR must leave gen updates at --lr while the disc uses
+    --disc_lr."""
+    import jax
+
+    from generative_models_tpu.models.gan import GAN
+
+    _, xs, yb = batches
+    g = GAN(make_G(GAN, spectral_norm=1, disc_lr=2e-4))
+    sn_leaves = [
+        p
+        for p in jax.tree_util.tree_leaves_with_path(g.state.extra['disc'])
+        if 'SpectralNorm' in jax.tree_util.keystr(p[0])
+    ]
+    assert sn_leaves, 'spectral_norm=1 added no power-iteration state'
+    mets = g.train_epoch(xs, yb)
+    assert np.isfinite(float(mets['disc/loss']))
+    assert np.isfinite(float(mets['gen/loss']))
+    # default-off path has no SN state
+    g0 = GAN(make_G(GAN))
+    assert not [
+        p
+        for p in jax.tree_util.tree_leaves_with_path(g0.state.extra['disc'])
+        if 'SpectralNorm' in jax.tree_util.keystr(p[0])
+    ]
