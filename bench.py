@@ -167,6 +167,17 @@ def bench_model(name, extra, rng):
     if fl:
         extra[f'{name}_mfu'] = fl * sps / PEAK_FLOPS
 
+    # ---- full reference-workload epoch, end to end: 937 steps at bs=64
+    # (BASELINE.md workload constants) including the on-device shuffle
+    # permutation and the host metric pull — the number an actual training
+    # epoch costs, not just the steady-state scan ----
+    bx, by = ds.epoch_batches(jax.random.key(1))
+    model.train_epoch(bx, by)  # compile the full-epoch scan shape
+    t0 = time.perf_counter()
+    bx, by = ds.epoch_batches(jax.random.key(2))
+    jax.device_get(model.train_epoch(bx, by))
+    extra[f'{name}_epoch_wall_sec'] = time.perf_counter() - t0
+
     # ---- sampling latency ----
     if name in ('autoencoder', 'classifier'):
         return model, sps  # eval arbiters don't sample
