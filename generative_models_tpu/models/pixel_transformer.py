@@ -436,7 +436,9 @@ class PixelTransformer(Autoreg):
 
     def build(self):
         from generative_models_tpu.ops import on_tpu
-        from generative_models_tpu.parallel import PIPE_AXIS, SEQ_AXIS, get_mesh
+        from generative_models_tpu.parallel import (
+            MODEL_AXIS, PIPE_AXIS, SEQ_AXIS, get_mesh,
+        )
 
         # sequence parallelism: --mesh=seq:N routes attention through the
         # ring kernel (parallel/ring_attention.py) with T sharded over 'seq'
@@ -470,6 +472,12 @@ class PixelTransformer(Autoreg):
                 on_tpu()
                 and bool(self.G.get('fused_decode', 1))
                 and not (use_ring or use_pipe or n_experts)
+                # TP-sharded params would all-gather through the kernel at
+                # every decode step; keep the per-op chain there
+                and (
+                    MODEL_AXIS not in mesh.axis_names
+                    or mesh.shape[MODEL_AXIS] == 1
+                )
             ),
             remat=bool(self.G.get('remat', 0)),
             n_experts=n_experts,

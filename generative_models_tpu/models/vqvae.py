@@ -102,6 +102,7 @@ class VQVAE(GM):
     DG.n_head = 8
     DG.n_embed = 256
     DG.prior_lr = 1e-3
+    DG.fused_decode = 1  # prior sampling via ops/decode_fused.py (TPU only)
 
     def __init__(self, G):
         self.grid_hw = 8 if G.get('pad32', 0) else 7
@@ -119,6 +120,9 @@ class VQVAE(GM):
             hidden=self.G.hidden_size, vqD=self.G.vqD, vqK=self.G.vqK,
             beta=self.G.beta, use_pallas=on_tpu(),
         )
+        from generative_models_tpu.parallel import MODEL_AXIS, get_mesh
+
+        mesh = get_mesh()
         self.prior = TransformerNet(
             in_size=self.G.vqK,
             block_size=self.n_codes,
@@ -127,6 +131,14 @@ class VQVAE(GM):
             n_layer=self.G.n_layer,
             head='cat',
             use_pallas=on_tpu(),
+            use_fused_decode=(
+                on_tpu()
+                and bool(self.G.get('fused_decode', 1))
+                and (
+                    MODEL_AXIS not in mesh.axis_names
+                    or mesh.shape[MODEL_AXIS] == 1
+                )
+            ),
         )
         return None
 
