@@ -147,9 +147,9 @@ class Block(nn.Module):
         return x_t, kv_cache
 
     def fused_layer_params(self):
-        """Raw param bundle for ops/decode_fused.fused_decode_layer (the
-        whole-Block-in-one-kernel decode path). The QKV concat is
-        loop-invariant, so XLA hoists it out of the sampling scan."""
+        """Raw param bundle for the ops/decode_fused kernels (ln_matmul +
+        block_tail decode path). The QKV concat is loop-invariant, so XLA
+        hoists it out of the sampling scan."""
         ap = self.attn
         wq, wk, wv = (
             m.variables['params']['kernel']
@@ -196,9 +196,10 @@ class TransformerNet(nn.Module):
     use_ring: bool = False
     use_pipe: bool = False
     pipe_stages: int = 1
-    use_fused_decode: bool = False  # one Pallas kernel per Block per decode
-    # step (ops/decode_fused.py) — collapses the ~30-op latency-bound XLA
-    # chain; engaged on TPU for the dense-MLP config (not pipe/ring/MoE)
+    use_fused_decode: bool = False  # fused dense-chain decode kernels
+    # (ops/decode_fused.py: LN1+QKV and proj+LN2+MLP each one pallas_call) —
+    # cuts the latency-bound per-step op count; engaged on TPU for the
+    # dense-MLP config (not pipe/ring/MoE/TP)
     remat: bool = False  # --remat: recompute each Block in the backward
     # instead of caching its activations (jax.checkpoint) — trades ~1/3 more
     # FLOPs for O(n_layer) less HBM, the standard TPU recipe for long
@@ -291,20 +292,8 @@ class TransformerNet(nn.Module):
         return self.head_layer(self.ln_f(h))
 
     def init_cache(self, batch):
-        from generative_models_tpu.models.base import interception_active
         from generative_models_tpu.ops.attention import decode_cache_dtype
 
-        if self.use_fused_decode and not interception_active():
-            # fused kernel path: separate (T, B, C) K and V caches (the
-            # packed layout's size-2 dim would tile-pad 4x in VMEM)
-            shape = (self.block_size, batch, self.n_embed)
-            return [
-                (
-                    jnp.zeros(shape, decode_cache_dtype()),
-                    jnp.zeros(shape, decode_cache_dtype()),
-                )
-                for _ in range(self.n_layer)
-            ]
         shape = (self.block_size, batch, 2, self.n_embed)
         if self.use_pipe:
             return jnp.zeros((self.n_layer, *shape), decode_cache_dtype())
@@ -319,17 +308,24 @@ class TransformerNet(nn.Module):
         h = self.embed(prev_token) + self.pos_emb[0, t]
         if self.use_fused_decode and not interception_active():
             from generative_models_tpu.ops.decode_fused import (
-                fused_decode_layer, ln_matmul,
+                block_tail, ln_matmul,
             )
 
+            C = self.n_embed
             new_caches = []
-            for block, (kc, vc) in zip(self.blocks, caches):
-                h, k_t, v_t = fused_decode_layer(
-                    h, kc, vc, t, block.fused_layer_params(), self.n_head
+            for block, kv_cache in zip(self.blocks, caches):
+                lp = block.fused_layer_params()
+                qkv = ln_matmul(
+                    h, lp['ln1_scale'], lp['ln1_bias'], lp['wqkv'], lp['bqkv']
                 )
-                kc = jax.lax.dynamic_update_slice(kc, k_t[None], (t, 0, 0))
-                vc = jax.lax.dynamic_update_slice(vc, v_t[None], (t, 0, 0))
-                new_caches.append((kc, vc))
+                q, k_t, v_t = qkv[:, :C], qkv[:, C : 2 * C], qkv[:, 2 * C :]
+                kv = jnp.stack([k_t, v_t], 1)  # (B, 2, C)
+                kv_cache = jax.lax.dynamic_update_slice(
+                    kv_cache, kv.astype(kv_cache.dtype)[None], (t, 0, 0, 0)
+                )
+                y = decode_step_attention(q, kv_cache, t, self.n_head)
+                h = block_tail(h, y.astype(jnp.float32), lp)
+                new_caches.append(kv_cache)
             hp = self.head_layer.variables['params']['Dense_0']
             lf = self.ln_f.variables['params']
             logits = ln_matmul(
@@ -394,9 +390,11 @@ def transformer_pipe_rules(with_model=False):
     ]
 
 
-def transformer_sample_scan(net, params, n, rng, sample_token):
+def transformer_sample_scan(net, params, n, rng, sample_token, unroll=1):
     """Generic KV-cached AR sampling scan shared by PixelTransformer and the
-    VQ-VAE prior. sample_token(logits, key) -> (B, in_size) token."""
+    VQ-VAE prior. sample_token(logits, key) -> (B, in_size) token. unroll
+    amortizes the scan's per-iteration bookkeeping over the latency-bound
+    decode chain (--decode_unroll)."""
 
     def body(carry, inp):
         prev, caches = carry
@@ -410,7 +408,10 @@ def transformer_sample_scan(net, params, n, rng, sample_token):
     caches0 = net.init_cache(n)
     prev0 = jnp.zeros((n, net.in_size))
     keys = jax.random.split(rng, net.block_size)
-    _, tokens = jax.lax.scan(body, (prev0, caches0), (jnp.arange(net.block_size), keys))
+    _, tokens = jax.lax.scan(
+        body, (prev0, caches0), (jnp.arange(net.block_size), keys),
+        unroll=unroll,
+    )
     return tokens  # (T, B, in_size)
 
 
@@ -421,8 +422,9 @@ class PixelTransformer(Autoreg):
     DG.n_head = 4
     DG.n_embed = 128
     DG.lr = 1e-3
-    DG.fused_decode = 1  # whole-Block-per-kernel sampling (ops/decode_fused.py;
-    # TPU only); 0 = the per-op XLA decode chain (A/B and debug)
+    DG.fused_decode = 1  # fused dense-chain decode kernels
+    # (ops/decode_fused.py; TPU only); 0 = the per-op XLA chain (A/B, debug)
+    DG.decode_unroll = 1  # lax.scan unroll factor for the sampling scan
     # --- MoE extension (models/moe.py; 0 = the reference's dense MLP) ---
     DG.moe_experts = 0
     DG.moe_cap = 2.0   # per-expert capacity factor (cap = T/E * this)
@@ -527,7 +529,10 @@ class PixelTransformer(Autoreg):
 
     def sample_fn(self, state, n, rng, with_frames=True):
         sample_token = lambda logits, key: dists.Bernoulli(logits=logits).sample(key)
-        tokens = transformer_sample_scan(self.net, state.params, n, rng, sample_token)
+        tokens = transformer_sample_scan(
+            self.net, state.params, n, rng, sample_token,
+            unroll=int(self.G.get('decode_unroll', 1)),
+        )
         samples = tokens.transpose(1, 0, 2).reshape(n, self.side, self.side, 1)
         if not with_frames:
             return samples

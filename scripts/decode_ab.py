@@ -25,7 +25,7 @@ import numpy as np
 TRIALS = 3
 
 
-def make_model(fused):
+def make_model(fused, unroll=1):
     from generative_models_tpu.models.pixel_transformer import PixelTransformer
     from generative_models_tpu.utils.config import global_defaults
 
@@ -34,6 +34,7 @@ def make_model(fused):
     for k, v in PixelTransformer.DG.items():
         G[k] = v
     G.fused_decode = fused
+    G.decode_unroll = unroll
     np.random.seed(0)
     return PixelTransformer(G)
 
@@ -80,6 +81,9 @@ def main():
     ms0 = time_sample(m0)
     print(f'sample25: fused {ms1:.1f} ms vs plain {ms0:.1f} ms '
           f'({ms0 / ms1:.2f}x)')
+    for fused, unroll in [(1, 4), (1, 8), (0, 4)]:
+        ms = time_sample(make_model(fused, unroll))
+        print(f'sample25 fused={fused} unroll={unroll}: {ms:.1f} ms')
 
     # int8 decode variant (expected rejection: latency-bound, not BW-bound)
     try:

@@ -45,18 +45,23 @@ def fmt(v, nd=3):
 
 def quality_table(results):
     rows = [
-        '| model | device | bits/dim | FID | pixel FID | precision | recall'
-        ' | F1 | train (s) | epochs |',
-        '|---|---|---|---|---|---|---|---|---|---|',
+        '| model | device | bits/dim (final) | bits/dim (best@epoch) | FID'
+        ' | pixel FID | precision | recall | F1 | train (s) | epochs |',
+        '|---|---|---|---|---|---|---|---|---|---|---|',
     ]
     models = results.get('models', {})
     for m in MODELS:
         r = models.get(m)
         if not r:
             continue
+        best = r.get('bits_per_dim_best')
+        best_s = (
+            f"{fmt(best)}@{r.get('bits_per_dim_best_epoch', '?')}"
+            if best is not None else '—'
+        )
         rows.append(
             f"| `{m}` | {r.get('device', 'unknown')} |"
-            f" {fmt(r.get('bits_per_dim'))} | {fmt(r.get('fid'), 4)} |"
+            f" {fmt(r.get('bits_per_dim'))} | {best_s} | {fmt(r.get('fid'), 4)} |"
             f" {fmt(r.get('ignite_fid'), 4)} | {fmt(r.get('precision'))} |"
             f" {fmt(r.get('recall'))} | {fmt(r.get('f1'))} |"
             f" {fmt(r.get('train_total_sec'), 1)} |"
