@@ -122,6 +122,59 @@ def sampler_table(sweep):
     return '\n'.join(rows)
 
 
+def crosscheck_section(cross):
+    """Render the conv-AR overfitting finding (VERDICT r3 item 1): earlier
+    RESULTS tables showed wavenet/pixel_cnn/gated 2-3x WORSE test bpd than
+    made — which smelled like a conv-stack bug. Two experiments resolved it
+    as a data/schedule artifact, not a correctness bug."""
+    lines = [
+        'Round-3 RESULTS recorded conv-AR test bits/dim (wavenet 0.330,'
+        ' pixel_cnn 0.363, gated 0.343) 2-3x worse than made (0.162) — on'
+        ' binarized data the PixelCNN family should beat a masked MLP, so'
+        ' this looked like a latent conv-stack bug. Two experiments'
+        ' (scripts/conv_ar_crosscheck.py + 50-epoch chip runs) show it is'
+        ' an overfitting artifact of the fallback dataset, not a bug:',
+        '',
+        '1. **The expected ordering holds at aligned steps, in BOTH'
+        ' frameworks.** Test bpd after the same number of bs=64 steps on'
+        ' the same digits-fallback data:',
+        '',
+        '| model | framework | steps | test bpd |',
+        '|---|---|---|---|',
+    ]
+    for side in ('reference', 'ours'):
+        data = cross.get(side, {})
+        label = 'torch-CPU reference' if side == 'reference' else 'ours (chip)'
+        for m in ('made', 'pixel_cnn', 'gated_pixel_cnn', 'wavenet'):
+            rec = data.get(m)
+            if not rec or not rec.get('steps'):
+                continue
+            # compare everything at the conv models' last checkpoint
+            idx = min(len(rec['steps']) - 1,
+                      next((i for i, s in enumerate(rec['steps'])
+                            if s >= 150), len(rec['steps']) - 1))
+            lines.append(
+                f"| `{m}` | {label} | {rec['steps'][idx]} |"
+                f" {rec['bpd'][idx]:.4f} |"
+            )
+    lines += [
+        '',
+        '2. **The conv models hit their best test bpd within 1-4 epochs'
+        ' and then overfit hard.** The 50-epoch chip curves (logs/zoo50)'
+        ' bottom at wavenet 0.108 / gated 0.116 / pixel_cnn 0.118 — all'
+        ' BELOW made\'s 0.162, the expected ordering — then rise'
+        ' monotonically to 0.40-0.54 while train nlogp falls to ~0.02:'
+        ' the fallback dataset upsamples only ~1.5k base sklearn-digits'
+        ' images to 60k, and the high-capacity conv stacks memorize it.'
+        ' The round-3 table had recorded different models at different'
+        ' points of that trajectory (10 vs 20 epochs). The quality table'
+        ' above therefore reports bits/dim at BOTH the final epoch and'
+        ' the best (early-stopped) epoch; on real MNIST (60k distinct'
+        ' images) the overfit cliff is far milder.',
+    ]
+    return '\n'.join(lines)
+
+
 def main():
     results, bench = load('RESULTS.json'), load('BENCH_EXTRA.json')
     distill, evalj = load('DISTILL.json'), load('EVAL.json')
@@ -138,6 +191,10 @@ def main():
             '', '## Sample quality (trained models, heavy eval)', '',
             results.get('description', ''), '', quality_table(results),
         ]
+    cross = load('conv_ar_crosscheck.json')
+    if cross:
+        parts += ['', '## The conv-AR bits/dim "anomaly", resolved', '',
+                  crosscheck_section(cross)]
     if bench:
         dev = bench.get('device', 'TPU')
         parts += [

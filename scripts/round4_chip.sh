@@ -5,7 +5,9 @@
 # a GAN stabilizer comparison run, and the eval_heavy fast-sampler rows.
 set -e
 cd "$(dirname "$0")/.."
-export PYTHONPATH=$PWD
+# append (not overwrite): the env's sitecustomize on PYTHONPATH registers
+# the remote-TPU platform plugin
+export PYTHONPATH=$PWD${PYTHONPATH:+:$PYTHONPATH}
 
 LOGROOT=logs/zoo50 EPOCHS=50 \
   MODELS="made rnn pixel_transformer vae vqvae gan diffusion_model" \
