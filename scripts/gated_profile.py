@@ -40,8 +40,6 @@ def time_epoch(model, bx, by):
 
 
 def make_model(ablate=None):
-    import flax.linen as nn
-
     from generative_models_tpu.models import gated_pixel_cnn as g
     from generative_models_tpu.models.gated_pixel_cnn import GatedPixelCNN
     from generative_models_tpu.utils.config import global_defaults
