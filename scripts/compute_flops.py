@@ -53,6 +53,9 @@ def main():
             x = xb if G.binarize else xs
             lowered = jax.jit(model.train_step_fn).lower(model.state, x, y)
             cost = lowered.cost_analysis()
+            if cost is None:
+                # some lowerings only expose cost analysis post-compile
+                cost = lowered.compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             out[name] = {'flops_per_step': float(cost['flops']), 'bs': BS}
