@@ -97,9 +97,15 @@ class GAN(GM):
     DG.lr = 5e-5
     DG.binarize = 0  # GAN trains on [-1,1] data (reference: gms/gans/gan.py:16)
     # opt-in stabilizers (both default-off => reference-exact training):
-    DG.disc_lr = 0.0  # TTUR: separate discriminator lr (0 = --lr for both);
-    # the usual recipe is disc_lr ~= 4x gen lr (Heusel et al. 2017)
+    DG.disc_lr = 0.0  # separate discriminator lr (0 = --lr for both). On
+    # this workload the measured failure mode is the DISC winning outright
+    # (disc loss -> 0, gen loss -> 10, samples collapse by epoch ~3), so
+    # the useful direction is disc_lr BELOW the gen lr — the classic TTUR
+    # disc_lr > gen_lr made it worse (logs/zoo50/gan_stab round 4)
     DG.spectral_norm = 0  # spectral-normalize the discriminator convs
+    DG.label_smooth = 0.0  # one-sided label smoothing: disc's real target
+    # becomes 1 - label_smooth (Salimans et al. 2016), the standard brake
+    # on a dominating discriminator
     SAMPLE_RANGE = (-1.0, 1.0)  # generator ends in tanh
 
     def build(self):
@@ -164,9 +170,11 @@ class GAN(GM):
         fake, g_mut = self._gen_apply(params['gen'], stats['gen'], noise, True)
 
         # --- discriminator step ---
+        real_target = 1.0 - float(self.G.get('label_smooth', 0.0))
+
         def disc_loss_fn(d_params):
             real_logits, d_mut1 = self._disc_apply(d_params, stats['disc'], x, True)
-            loss_real = bce_with_logits(real_logits, jnp.ones(bs))
+            loss_real = bce_with_logits(real_logits, real_target * jnp.ones(bs))
             fake_logits, d_mut2 = self._disc_apply(
                 d_params, d_mut1['batch_stats'], jax.lax.stop_gradient(fake), True
             )

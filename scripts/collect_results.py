@@ -21,7 +21,8 @@ from tensorboard.backend.event_processing.event_accumulator import (
 
 MODELS = [
     'made', 'rnn', 'wavenet', 'pixel_cnn', 'gated_pixel_cnn',
-    'pixel_transformer', 'vae', 'vqvae', 'gan', 'diffusion_model',
+    'pixel_transformer', 'vae', 'vqvae', 'gan', 'gan_stab',
+    'diffusion_model',
 ]
 LAST_KEYS = [
     'eval/bits_per_dim', 'eval/fid', 'eval/ignite_fid', 'eval/precision',

@@ -17,8 +17,8 @@ ROOT = Path(__file__).resolve().parent.parent
 
 MODELS = [
     'made', 'rnn', 'wavenet', 'pixel_cnn', 'gated_pixel_cnn',
-    'pixel_transformer', 'vae', 'vqvae', 'gan', 'diffusion_model',
-    'autoencoder', 'classifier',
+    'pixel_transformer', 'vae', 'vqvae', 'gan', 'gan_stab',
+    'diffusion_model', 'autoencoder', 'classifier',
 ]
 
 
