@@ -25,6 +25,15 @@ import numpy as np
 TRIALS = 3
 
 
+def _fetch(out):
+    """Hard barrier: pull real values to host (block_until_ready is NOT a
+    reliable barrier on the remote 'axon' platform — same workaround as
+    bench.py)."""
+    return jax.device_get(
+        jax.tree_util.tree_map(lambda a: a.sum() if hasattr(a, 'sum') else a, out)
+    )
+
+
 def make_model(fused, unroll=1):
     from generative_models_tpu.models.pixel_transformer import PixelTransformer
     from generative_models_tpu.utils.config import global_defaults
@@ -40,12 +49,11 @@ def make_model(fused, unroll=1):
 
 
 def time_sample(model, n=25):
-    out = model.sample(n)
-    jax.block_until_ready(out)
+    _fetch(model.sample(n))
     best = float('inf')
     for _ in range(TRIALS):
         t0 = time.perf_counter()
-        jax.block_until_ready(model.sample(n))
+        _fetch(model.sample(n))
         best = min(best, time.perf_counter() - t0)
     return best * 1e3
 
@@ -99,12 +107,11 @@ def main():
                     m0, state, rng, interceptor
                 )
             )
-            out = fn(m0.state, jax.random.key(0))
-            jax.block_until_ready(out)
+            _fetch(fn(m0.state, jax.random.key(0)))
             best = float('inf')
             for _ in range(TRIALS):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(m0.state, jax.random.key(1)))
+                _fetch(fn(m0.state, jax.random.key(1)))
                 best = min(best, time.perf_counter() - t0)
             print(f'sample25 int8(w8a16) decode: {best * 1e3:.1f} ms '
                   f'({n_q} kernels quantized)')

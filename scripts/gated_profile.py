@@ -29,12 +29,21 @@ STEPS = 30
 TRIALS = 3
 
 
+def _fetch(out):
+    """Hard barrier: pull real values to host (block_until_ready is NOT a
+    reliable barrier on the remote 'axon' platform — same workaround as
+    bench.py)."""
+    return jax.device_get(
+        jax.tree_util.tree_map(lambda a: a.sum() if hasattr(a, 'sum') else a, out)
+    )
+
+
 def time_epoch(model, bx, by):
-    model.train_epoch(bx, by)
+    _fetch(model.train_epoch(bx, by))
     best = float('inf')
     for _ in range(TRIALS):
         t0 = time.perf_counter()
-        jax.block_until_ready(model.train_epoch(bx, by))
+        _fetch(model.train_epoch(bx, by))
         best = min(best, time.perf_counter() - t0)
     return best / STEPS * 1e3
 

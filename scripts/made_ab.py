@@ -25,6 +25,15 @@ STEPS = 30
 TRIALS = 3
 
 
+def _fetch(out):
+    """Hard barrier: pull real values to host (block_until_ready is NOT a
+    reliable barrier on the remote 'axon' platform — same workaround as
+    bench.py)."""
+    return jax.device_get(
+        jax.tree_util.tree_map(lambda a: a.sum() if hasattr(a, 'sum') else a, out)
+    )
+
+
 def make_model(premasked, hidden=1024):
     from generative_models_tpu.models.made import MADE
     from generative_models_tpu.utils.config import global_defaults
@@ -38,12 +47,11 @@ def make_model(premasked, hidden=1024):
 
 
 def time_epoch(model, bx, by):
-    model.train_epoch(bx, by)  # compile + warm
+    _fetch(model.train_epoch(bx, by))  # compile + warm
     best = float('inf')
     for _ in range(TRIALS):
         t0 = time.perf_counter()
-        m = model.train_epoch(bx, by)
-        jax.block_until_ready(m)
+        _fetch(model.train_epoch(bx, by))
         best = min(best, time.perf_counter() - t0)
     return best / STEPS * 1e3  # ms/step
 
