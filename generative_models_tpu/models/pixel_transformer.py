@@ -390,11 +390,18 @@ def transformer_pipe_rules(with_model=False):
     ]
 
 
-def transformer_sample_scan(net, params, n, rng, sample_token, unroll=1):
+def transformer_sample_scan(net, params, n, rng, sample_token, unroll=1,
+                            segments=1):
     """Generic KV-cached AR sampling scan shared by PixelTransformer and the
-    VQ-VAE prior. sample_token(logits, key) -> (B, in_size) token. unroll
-    amortizes the scan's per-iteration bookkeeping over the latency-bound
-    decode chain (--decode_unroll)."""
+    VQ-VAE prior. sample_token(logits, key) -> (B, in_size) token.
+
+    unroll amortizes the scan's per-iteration bookkeeping; segments > 1
+    splits the T-step scan into S sequential sub-scans where sub-scan k
+    carries only the first (k+1)*T/S cache rows — the attention read per
+    step shrinks from a constant T rows to a triangular average of ~T/2,
+    which is the decode chain's dominant HBM traffic (the (T, B, 2, C)
+    cache is re-read every step; at the reference config that is ~10 MB per
+    layer per step). Each segment compiles its own body (static shapes)."""
 
     def body(carry, inp):
         prev, caches = carry
@@ -405,14 +412,33 @@ def transformer_sample_scan(net, params, n, rng, sample_token, unroll=1):
         tok = sample_token(logits, key)
         return (tok, caches), tok
 
-    caches0 = net.init_cache(n)
-    prev0 = jnp.zeros((n, net.in_size))
-    keys = jax.random.split(rng, net.block_size)
-    _, tokens = jax.lax.scan(
-        body, (prev0, caches0), (jnp.arange(net.block_size), keys),
-        unroll=unroll,
-    )
-    return tokens  # (T, B, in_size)
+    T = net.block_size
+    caches = net.init_cache(n)
+    prev = jnp.zeros((n, net.in_size))
+    keys = jax.random.split(rng, T)
+    if segments <= 1 or T % segments != 0 or net.use_pipe:
+        _, tokens = jax.lax.scan(
+            body, (prev, caches), (jnp.arange(T), keys), unroll=unroll,
+        )
+        return tokens  # (T, B, in_size)
+
+    seg = T // segments
+    token_parts = []
+    for k in range(segments):
+        limit = seg * (k + 1)
+        caches_k = [c[:limit] for c in caches]
+        (prev, caches_k), toks = jax.lax.scan(
+            body, (prev, caches_k),
+            (jnp.arange(seg * k, limit), keys[seg * k : limit]),
+            unroll=unroll,
+        )
+        if k + 1 < segments:
+            caches = [
+                jax.lax.dynamic_update_slice(c, ck, (0,) * c.ndim)
+                for c, ck in zip(caches, caches_k)
+            ]
+        token_parts.append(toks)
+    return jnp.concatenate(token_parts, axis=0)
 
 
 @register
@@ -425,6 +451,8 @@ class PixelTransformer(Autoreg):
     DG.fused_decode = 1  # fused dense-chain decode kernels
     # (ops/decode_fused.py; TPU only); 0 = the per-op XLA chain (A/B, debug)
     DG.decode_unroll = 1  # lax.scan unroll factor for the sampling scan
+    DG.decode_segments = -1  # sampling-scan segmentation (triangular cache
+    # reads, see transformer_sample_scan); -1 = auto (4 on TPU, 1 off)
     # --- MoE extension (models/moe.py; 0 = the reference's dense MLP) ---
     DG.moe_experts = 0
     DG.moe_cap = 2.0   # per-expert capacity factor (cap = T/E * this)
@@ -528,10 +556,16 @@ class PixelTransformer(Autoreg):
         return loss, {'nlogp': loss}
 
     def sample_fn(self, state, n, rng, with_frames=True):
+        from generative_models_tpu.ops import on_tpu
+
         sample_token = lambda logits, key: dists.Bernoulli(logits=logits).sample(key)
+        segments = int(self.G.get('decode_segments', -1))
+        if segments < 0:  # auto: triangular cache reads on TPU
+            segments = 4 if on_tpu() else 1
         tokens = transformer_sample_scan(
             self.net, state.params, n, rng, sample_token,
             unroll=int(self.G.get('decode_unroll', 1)),
+            segments=segments,
         )
         samples = tokens.transpose(1, 0, 2).reshape(n, self.side, self.side, 1)
         if not with_frames:

@@ -34,7 +34,7 @@ def _fetch(out):
     )
 
 
-def make_model(fused, unroll=1):
+def make_model(fused, unroll=1, segments=1):
     from generative_models_tpu.models.pixel_transformer import PixelTransformer
     from generative_models_tpu.utils.config import global_defaults
 
@@ -44,6 +44,7 @@ def make_model(fused, unroll=1):
         G[k] = v
     G.fused_decode = fused
     G.decode_unroll = unroll
+    G.decode_segments = segments
     np.random.seed(0)
     return PixelTransformer(G)
 
@@ -92,6 +93,11 @@ def main():
     for fused, unroll in [(1, 4), (1, 8), (0, 4)]:
         ms = time_sample(make_model(fused, unroll))
         print(f'sample25 fused={fused} unroll={unroll}: {ms:.1f} ms')
+    # segmented scan: triangular cache reads (the decode chain's dominant
+    # HBM traffic) — sweep segment counts on both decode paths
+    for fused, segments in [(1, 4), (1, 8), (1, 16), (0, 4), (0, 8)]:
+        ms = time_sample(make_model(fused, segments=segments))
+        print(f'sample25 fused={fused} segments={segments}: {ms:.1f} ms')
 
     # int8 decode variant (expected rejection: latency-bound, not BW-bound)
     try:

@@ -73,3 +73,25 @@ def test_fused_decode_matches_full_forward():
             rtol=1e-4, atol=1e-5, err_msg=f'pos {t}',
         )
         prev = x[:, t]
+
+
+def test_segmented_sample_scan_bitwise_identical():
+    """segments > 1 (triangular cache reads) must reproduce the unsegmented
+    scan's tokens BITWISE: truncating the cache only removes rows whose
+    softmax weight is exactly 0 (exp(NEG_INF - m) underflows to 0.0), so
+    every partial sum is unchanged."""
+    from generative_models_tpu.models.pixel_transformer import (
+        transformer_sample_scan,
+    )
+
+    net, _ = _nets()
+    rng = np.random.RandomState(2)
+    x = jnp.asarray((rng.rand(B, T, 1) > 0.5).astype(np.float32))
+    params = net.init(jax.random.key(0), x)['params']
+    tok = lambda logits, key: (logits > 0).astype(jnp.float32)
+    key = jax.random.key(1)
+    base = transformer_sample_scan(net, params, B, key, tok, segments=1)
+    for segments in (2, 4, 8):
+        seg = transformer_sample_scan(net, params, B, key, tok,
+                                      segments=segments)
+        np.testing.assert_array_equal(np.asarray(seg), np.asarray(base))
