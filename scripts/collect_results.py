@@ -57,6 +57,14 @@ def model_results(logdir, model):
             best = min(trained, key=lambda e: e.value)
             out['bits_per_dim_best'] = best.value
             out['bits_per_dim_best_epoch'] = best.step
+    # same early-stopping record for FID (GANs in particular collapse past
+    # their optimum; runs with save_n < epochs log several heavy evals)
+    if 'eval/fid' in tags:
+        fids = [e for e in acc.Scalars('eval/fid') if e.step > 0]
+        if len(fids) > 1:
+            best = min(fids, key=lambda e: e.value)
+            out['fid_best'] = best.value
+            out['fid_best_epoch'] = best.step
     # first heavy eval (epoch 0, untrained) vs last, to show learning
     if 'eval/fid' in tags:
         fids = acc.Scalars('eval/fid')

@@ -14,9 +14,11 @@ LOGROOT=logs/zoo50 EPOCHS=50 \
   bash scripts/zoo_results.sh
 
 # GAN stabilizer comparison (opt-in flags; the zoo run above is the
-# reference-exact default)
+# reference-exact default). --disc_lr=1e-5 is the measured winner of
+# scripts/gan_stabilizer_sweep.sh (FID 0.039 vs the default's 0.79
+# collapse at 50 epochs; TTUR/label-smooth/SN variants all collapse).
 python -m generative_models_tpu.main --model=gan --epochs=50 --save_n=50 \
-  --eval_heavy=1 --spectral_norm=1 --disc_lr=2e-4 \
+  --eval_heavy=1 --disc_lr=1e-5 \
   --logdir=logs/zoo50/gan_stab
 
 # eval_heavy fast-sampler A/B on the trained diffusion checkpoint
