@@ -104,19 +104,10 @@ class MADE(Autoreg):
         from generative_models_tpu.ops import on_tpu
         from generative_models_tpu.ops.masked_dense import prefer_pallas
 
-        if int(self.G.get('premasked', 1)):
-            # default: masks folded into the weights at rest (zero per-step
-            # mask traffic); --premasked=0 keeps the fold/Pallas paths for
-            # A/B measurement
-            return MaskedMLP(
-                hidden_sizes=self.hidden_sizes,
-                nout=self.nout,
-                masks=self.masks,
-                premasked=True,
-            )
-        # shape gate: at the default 784x1024 layers, XLA's fold-the-mask
-        # matmul measured faster than the Pallas kernel; the kernel wins
-        # once materializing mask*W per step dominates (large widths)
+        # shape gate: above ~8 MB of masked weight the VMEM-fused Pallas
+        # masked kernel is the fastest path (chip A/B, scripts/made_ab.py:
+        # hidden=2048 premasked 1.48 vs Pallas 1.27 ms/step); below it,
+        # premasked plain matmuls win (hidden=1024: 0.99 vs 1.09 ms/step)
         big_k, big_n = max(
             zip(
                 (self.nin,) + self.hidden_sizes,
@@ -124,11 +115,21 @@ class MADE(Autoreg):
             ),
             key=lambda kn: kn[0] * kn[1],
         )
+        big = on_tpu() and prefer_pallas(big_k, big_n)
+        if int(self.G.get('premasked', 1)) and not big:
+            # masks folded into the weights at rest (zero per-step mask
+            # traffic); --premasked=0 keeps the fold path for A/B
+            return MaskedMLP(
+                hidden_sizes=self.hidden_sizes,
+                nout=self.nout,
+                masks=self.masks,
+                premasked=True,
+            )
         return MaskedMLP(
             hidden_sizes=self.hidden_sizes,
             nout=self.nout,
             masks=self.masks,
-            use_pallas=on_tpu() and prefer_pallas(big_k, big_n),
+            use_pallas=big,
         )
 
     def example_input(self):

@@ -59,7 +59,9 @@ def make_model(ablate=None):
         G[k] = v
     np.random.seed(0)
 
-    if ablate == 'no_ln':
+    if ablate == 'bf16':
+        G.bf16 = 1
+    elif ablate == 'no_ln':
         g.StackLayerNorm.__call__ = lambda self, vx, hx: (vx, hx)
     elif ablate == 'no_gate':
         g.GatedConv2d._gate = staticmethod(
@@ -125,7 +127,7 @@ def main():
     bx = jnp.asarray((rng.rand(STEPS, BS, 28, 28, 1) > 0.5), jnp.float32)
     by = jnp.zeros((STEPS, BS), jnp.int32)
     results = {}
-    for ab in [None, 'no_ln', 'no_gate', 'no_link', 'no_out1x1', 'no_hconv']:
+    for ab in [None, 'bf16', 'no_ln', 'no_gate', 'no_link', 'no_out1x1', 'no_hconv']:
         # fresh module state per ablation (monkeypatches are module-global)
         import generative_models_tpu.models.gated_pixel_cnn as g
 
