@@ -56,6 +56,8 @@ class GatedConv2d(nn.Module):
     features: int
     kernel_size: int = 7
     in_features: int = None
+    dtype: object = None  # bf16 stacks (--bf16): halves the elementwise/LN
+    # HBM traffic that dominates this model (scripts/gated_profile.py)
 
     def setup(self):
         k = self.kernel_size
@@ -69,10 +71,12 @@ class GatedConv2d(nn.Module):
             (1, k, in_c, 2 * self.features),
         )
         self.link = nn.Conv(
-            2 * self.features, (1, 1), use_bias=False, name='Conv_0'
+            2 * self.features, (1, 1), use_bias=False, name='Conv_0',
+            dtype=self.dtype,
         )
         self.out1x1 = nn.Conv(
-            self.features, (1, 1), use_bias=False, name='Conv_1'
+            self.features, (1, 1), use_bias=False, name='Conv_1',
+            dtype=self.dtype,
         )
 
     @staticmethod
@@ -88,9 +92,16 @@ class GatedConv2d(nn.Module):
         (docs/PERF.md)."""
         k = self.kernel_size
         p = k // 2
-        conv = lambda inp, ker, pad: jax.lax.conv_general_dilated(
-            inp, ker, (1, 1), pad, dimension_numbers=('NHWC', 'HWIO', 'NHWC')
-        )
+        dt = self.dtype
+
+        def conv(inp, ker, pad):
+            if dt is not None:
+                inp, ker = inp.astype(dt), ker.astype(dt)
+            return jax.lax.conv_general_dilated(
+                inp, ker, (1, 1), pad,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            )
+
         # the stack masks zero whole kernel rows/cols, so run the convs on
         # the cropped causal support with shifted (possibly negative)
         # padding — bit-identical to the masked full conv, ~43% fewer taps.
@@ -132,9 +143,12 @@ class GatedConv2d(nn.Module):
 
 
 class StackLayerNorm(nn.Module):
+    dtype: object = None
+
     def setup(self):
-        self.ln_v = nn.LayerNorm(name='LayerNorm_0')
-        self.ln_h = nn.LayerNorm(name='LayerNorm_1')
+        # flax LN computes its mean/var in f32 regardless of dtype
+        self.ln_v = nn.LayerNorm(name='LayerNorm_0', dtype=self.dtype)
+        self.ln_h = nn.LayerNorm(name='LayerNorm_1', dtype=self.dtype)
 
     def __call__(self, vx, hx):
         return self.ln_v(vx), self.ln_h(hx)
@@ -144,24 +158,28 @@ class GatedPixelCNNNet(nn.Module):
     n_filters: int
     n_layers: int
     kernel_size: int
+    dtype: object = None  # --bf16: bf16 stack activations, f32 params/loss
 
     def setup(self):
         self.conv_in = MaskConv2d(
-            'A', self.n_filters, self.kernel_size, name='MaskConv2d_0'
+            'A', self.n_filters, self.kernel_size, name='MaskConv2d_0',
+            dtype=self.dtype,
         )
         n_gated = self.n_layers - 2
         self.gated = [
             GatedConv2d(
                 'B', self.n_filters, self.kernel_size,
                 in_features=self.n_filters, name=f'GatedConv2d_{i}',
+                dtype=self.dtype,
             )
             for i in range(n_gated)
         ]
         self.stack_lns = [
-            StackLayerNorm(name=f'StackLayerNorm_{i}') for i in range(n_gated)
+            StackLayerNorm(name=f'StackLayerNorm_{i}', dtype=self.dtype)
+            for i in range(n_gated)
         ]
         self.conv_out = MaskConv2d(
-            'B', 1, self.kernel_size, name='MaskConv2d_1'
+            'B', 1, self.kernel_size, name='MaskConv2d_1', dtype=self.dtype,
         )
 
     def __call__(self, x):
@@ -290,13 +308,25 @@ class GatedPixelCNN(PixelCNN):
     DG.kernel_size = 7
     DG.use_resblock = 0
     DG.lr = 1e-4
+    DG.bf16 = 0  # bf16 stack activations (params + loss stay f32): the
+    # step is elementwise/LN-HBM-bound (scripts/gated_profile.py), so
+    # halving activation bytes is the measured lever; default off keeps
+    # the reference-exact f32 numerics for the parity contract
 
     def build(self):
-        return GatedPixelCNNNet(
+        import jax.numpy as jnp
+
+        kw = dict(
             n_filters=self.G.n_filters,
             n_layers=self.G.n_layers,
             kernel_size=self.G.kernel_size,
         )
+        if int(self.G.get('bf16', 0)):
+            # decode stays f32 (the incremental canvases are f32 and the
+            # per-position window math is latency-, not bandwidth-, bound)
+            self._decode_net = GatedPixelCNNNet(**kw)
+            return GatedPixelCNNNet(**kw, dtype=jnp.bfloat16)
+        return GatedPixelCNNNet(**kw)
 
     # hooks for the sampling-scan template in PixelCNN.sample_fn
     _decode_step = staticmethod(GatedPixelCNNNet.decode_step)

@@ -44,6 +44,7 @@ class MaskConv2d(nn.Module):
     features: int
     kernel_size: int
     use_bias: bool = True
+    dtype: object = None  # computation dtype (bf16 stacks); None = f32
 
     @nn.compact
     def __call__(self, x, window=False):
@@ -56,7 +57,10 @@ class MaskConv2d(nn.Module):
             nn.initializers.lecun_normal(),
             (k, k, x.shape[-1], self.features),
         )
-        mask = pixelcnn_mask(k, self.mask_type)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        mask = pixelcnn_mask(k, self.mask_type).astype(kernel.dtype)
         if window:
             y = jnp.einsum('nhwc,hwcf->nf', x, kernel * mask)
         else:
@@ -70,7 +74,8 @@ class MaskConv2d(nn.Module):
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
             )
         if self.use_bias:
-            y = y + self.param('bias', nn.initializers.zeros, (self.features,))
+            b = self.param('bias', nn.initializers.zeros, (self.features,))
+            y = y + (b.astype(y.dtype) if self.dtype is not None else b)
         return y
 
 
@@ -240,7 +245,10 @@ class PixelCNN(Autoreg):
 
     def loss(self, params, x, y=None, rng=None, train=True):
         logits = self.net.apply({'params': params}, x)
-        loss = -dists.Bernoulli(logits=logits).log_prob(x).mean()
+        # f32 loss regardless of the net's compute dtype (--bf16 stacks)
+        loss = -dists.Bernoulli(
+            logits=logits.astype(jnp.float32)
+        ).log_prob(x).mean()
         return loss, {'nlogp': loss}
 
     # hooks the gated subclass overrides: how to read/write the input
@@ -258,14 +266,17 @@ class PixelCNN(Autoreg):
 
     def sample_fn(self, state, n, rng, with_frames=True):
         """Incremental-decode sampling scan, shared with GatedPixelCNN via
-        the _decode_step/_init_canvases/_get_c0/_set_c0 hooks."""
+        the _decode_step/_init_canvases/_get_c0/_set_c0 hooks. Decoding
+        always runs the f32 net (_decode_net when --bf16 trains the stacks
+        in bf16; same params)."""
         side = self.side
         p = self.G.kernel_size // 2
+        net = getattr(self, '_decode_net', None) or self.net
 
         def body(canvases, inp):
             i, key = inp
             r, c = i // side, i % side
-            logit, canvases = self.net.apply(
+            logit, canvases = net.apply(
                 {'params': state.params}, canvases, r, c,
                 method=self._decode_step,
             )
@@ -278,7 +289,7 @@ class PixelCNN(Autoreg):
             return self._set_c0(canvases, c0), frame
 
         keys = jax.random.split(rng, self.canvas_size)
-        canvases0 = self.net.apply(
+        canvases0 = net.apply(
             {'params': state.params}, n, side, method=self._init_canvases
         )
         canvases, frames = jax.lax.scan(
