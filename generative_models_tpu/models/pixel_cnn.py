@@ -60,6 +60,10 @@ class MaskConv2d(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
+        elif x.dtype != kernel.dtype:
+            # f32 module fed from a bf16 stack (e.g. the final logit conv
+            # under --bf16): compute this conv in f32
+            x = x.astype(kernel.dtype)
         mask = pixelcnn_mask(k, self.mask_type).astype(kernel.dtype)
         if window:
             y = jnp.einsum('nhwc,hwcf->nf', x, kernel * mask)
@@ -86,11 +90,18 @@ class PixelResBlock(nn.Module):
     and init RNG streams are identical to the former nn.compact version."""
 
     channels: int
+    dtype: object = None
 
     def setup(self):
-        self.conv_a = MaskConv2d('B', self.channels // 2, 1, name='MaskConv2d_0')
-        self.conv_mid = MaskConv2d('B', self.channels // 2, 7, name='MaskConv2d_1')
-        self.conv_b = MaskConv2d('B', self.channels, 1, name='MaskConv2d_2')
+        self.conv_a = MaskConv2d(
+            'B', self.channels // 2, 1, name='MaskConv2d_0', dtype=self.dtype
+        )
+        self.conv_mid = MaskConv2d(
+            'B', self.channels // 2, 7, name='MaskConv2d_1', dtype=self.dtype
+        )
+        self.conv_b = MaskConv2d(
+            'B', self.channels, 1, name='MaskConv2d_2', dtype=self.dtype
+        )
 
     def __call__(self, x):
         h = nn.relu(x)
@@ -118,18 +129,23 @@ class PixelCNNNet(nn.Module):
     n_layers: int
     kernel_size: int
     use_resblock: bool
+    dtype: object = None  # --bf16: bf16 stack activations, f32 params/loss
 
     def setup(self):
         # names replicate the former nn.compact auto-naming exactly
         self.conv_in = MaskConv2d(
-            'A', self.n_filters, self.kernel_size, name='MaskConv2d_0'
+            'A', self.n_filters, self.kernel_size, name='MaskConv2d_0',
+            dtype=self.dtype,
         )
         self.lns = [
-            nn.LayerNorm(name=f'LayerNorm_{i}') for i in range(self.n_layers)
+            nn.LayerNorm(name=f'LayerNorm_{i}', dtype=self.dtype)
+            for i in range(self.n_layers)
         ]
         if self.use_resblock:
             self.blocks = [
-                PixelResBlock(self.n_filters, name=f'PixelResBlock_{i}')
+                PixelResBlock(
+                    self.n_filters, name=f'PixelResBlock_{i}', dtype=self.dtype
+                )
                 for i in range(self.n_layers)
             ]
             out_base = 1
@@ -137,13 +153,14 @@ class PixelCNNNet(nn.Module):
             self.blocks = [
                 MaskConv2d(
                     'B', self.n_filters, self.kernel_size,
-                    name=f'MaskConv2d_{i + 1}',
+                    name=f'MaskConv2d_{i + 1}', dtype=self.dtype,
                 )
                 for i in range(self.n_layers)
             ]
             out_base = self.n_layers + 1
         self.conv_out1 = MaskConv2d(
-            'B', self.n_filters, 1, name=f'MaskConv2d_{out_base}'
+            'B', self.n_filters, 1, name=f'MaskConv2d_{out_base}',
+            dtype=self.dtype,
         )
         self.conv_out2 = MaskConv2d('B', 1, 1, name=f'MaskConv2d_{out_base + 1}')
 
@@ -228,6 +245,8 @@ class PixelCNN(Autoreg):
     DG.kernel_size = 7
     DG.use_resblock = 0
     DG.lr = 1e-4
+    DG.bf16 = 0  # bf16 stack activations (params + loss stay f32); default
+    # off keeps reference-exact f32 numerics for the parity contract
 
     def __init__(self, G):
         self.side = 32 if G.get('pad32', 0) else 28
@@ -236,12 +255,17 @@ class PixelCNN(Autoreg):
         self._jit_sample = jax.jit(self.sample_fn, static_argnums=(1, 3))
 
     def build(self):
-        return PixelCNNNet(
+        kw = dict(
             n_filters=self.G.n_filters,
             n_layers=self.G.n_layers,
             kernel_size=self.G.kernel_size,
             use_resblock=bool(self.G.use_resblock),
         )
+        if int(self.G.get('bf16', 0)):
+            # decode stays f32 (f32 canvases; latency- not bandwidth-bound)
+            self._decode_net = PixelCNNNet(**kw)
+            return PixelCNNNet(**kw, dtype=jnp.bfloat16)
+        return PixelCNNNet(**kw)
 
     def loss(self, params, x, y=None, rng=None, train=True):
         logits = self.net.apply({'params': params}, x)
