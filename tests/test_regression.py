@@ -130,3 +130,25 @@ def test_gan_stabilizers_optin(batches):
         for p in jax.tree_util.tree_leaves_with_path(g0.state.extra['disc'])
         if 'SpectralNorm' in jax.tree_util.keystr(p[0])
     ]
+
+
+def test_conv_bf16_stacks_optin(batches):
+    """--bf16 on pixel_cnn / gated_pixel_cnn (default-off; the parity and
+    causality suites pin the f32 default): bf16 stack activations must
+    produce a first-step loss within bf16 rounding of the f32 path, and
+    the f32 decode net must sample."""
+    from generative_models_tpu.models.gated_pixel_cnn import GatedPixelCNN
+    from generative_models_tpu.models.pixel_cnn import PixelCNN
+
+    xb, _, yb = batches
+    for Model in (PixelCNN, GatedPixelCNN):
+        cfg = dict(n_filters=16, n_layers=4, kernel_size=5)
+        m32 = Model(make_G(Model, **cfg))
+        mbf = Model(make_G(Model, **cfg, bf16=1))
+        a = float(m32.train_step(xb[0], yb[0])['nlogp'])
+        b = float(mbf.train_step(xb[0], yb[0])['nlogp'])
+        assert abs(a - b) < 5e-3, (Model.__name__, a, b)
+        assert mbf._decode_net is not None
+        samp = mbf.sample(4)
+        samp = samp[0] if isinstance(samp, tuple) else samp
+        assert samp.shape == (4, 28, 28, 1)
