@@ -59,9 +59,14 @@ def quality_table(results):
             f"{fmt(best)}@{r.get('bits_per_dim_best_epoch', '?')}"
             if best is not None else '—'
         )
+        fid_s = fmt(r.get('fid'), 4)
+        if r.get('fid_best') is not None:
+            fid_s += (
+                f" (best {fmt(r['fid_best'], 4)}@{r.get('fid_best_epoch')})"
+            )
         rows.append(
             f"| `{m}` | {r.get('device', 'unknown')} |"
-            f" {fmt(r.get('bits_per_dim'))} | {best_s} | {fmt(r.get('fid'), 4)} |"
+            f" {fmt(r.get('bits_per_dim'))} | {best_s} | {fid_s} |"
             f" {fmt(r.get('ignite_fid'), 4)} | {fmt(r.get('precision'))} |"
             f" {fmt(r.get('recall'))} | {fmt(r.get('f1'))} |"
             f" {fmt(r.get('train_total_sec'), 1)} |"
