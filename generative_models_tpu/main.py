@@ -182,6 +182,22 @@ def train(model, dataset, autoencoder, classifier, G):
             print(f'[profiler] trace unavailable: {e}')
             G.profile = 0
 
+    # --keep_best=<metric>: track an eval metric (lower is better) and save
+    # model_best.pt whenever it improves, so the best epoch a run visits is
+    # a servable artifact, not just a row in RESULTS.json. Shorthands map to
+    # the harness's own logger keys; any full key works too.
+    best_metric = {'nlogp': 'eval/nlogp', 'fid': 'eval/fid'}.get(
+        str(G.get('keep_best', '')), str(G.get('keep_best', ''))
+    )
+    best_path = Path(G.logdir) / 'best.json'
+    best = {'metric': best_metric, 'value': float('inf'), 'epoch': -1}
+    if best_metric and int(G.get('resume', 0)) and best_path.exists():
+        import json
+
+        prev = json.loads(best_path.read_text())
+        if prev.get('metric') == best_metric:
+            best = prev  # don't regress the best checkpoint across resumes
+
     start_epoch = 0
     if int(G.get('resume', 0)) and int(model.state.step) > 0:
         # the step counter is part of the checkpointed train state and
@@ -227,6 +243,15 @@ def train(model, dataset, autoencoder, classifier, G):
                 eval_heavy(logger, model, dataset, autoencoder, classifier, G)
                 logger['dt/eval_heavy'] = [time.time() - t0]
                 print('DONE HEAVY EVAL')
+        if best_metric and logger.get(best_metric):
+            val = float(np.mean(logger[best_metric]))
+            if val < float(best['value']):
+                best = {'metric': best_metric, 'value': val, 'epoch': epoch}
+                model.save(G.logdir, test_x, test_y, tag='best')
+                import json
+
+                best_path.write_text(json.dumps(best))
+                print(f'SAVED BEST ({best_metric}={val:.4f} @ epoch {epoch})')
         logger = dump_logger(logger, writer, epoch, G)
 
         if epoch >= G.epochs:

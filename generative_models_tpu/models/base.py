@@ -216,7 +216,16 @@ class GM:
         return jnp.zeros((1, size, size, 1), jnp.float32)
 
     def init_params(self, rng):
-        return self.net.init(rng, self.example_input())['params']
+        # one jitted SPMD program, not eager op-by-op: under a multi-axis
+        # mesh (e.g. tp x seq) eager init executes each op as its own tiny
+        # partitioned module, and at sharding boundaries (ring attention's
+        # seq-sharded output entering a TP model-sharded MLP) GSPMD's
+        # last-resort eager reshard is an involuntary full rematerialization
+        # (replicate + repartition). Inside one jit the partitioner plans
+        # that reshard as a collective, so composed meshes init warning-free.
+        return jax.jit(
+            lambda r: self.net.init(r, self.example_input())['params']
+        )(rng)
 
     def init_state(self, rng):
         p_rng, s_rng = jax.random.split(rng)
@@ -355,9 +364,12 @@ class GM:
         state = jax.device_get(self.state)
         return state.replace(rng=jax.random.key_data(state.rng))
 
-    def save(self, path, test_x=None, test_y=None):
+    def save(self, path, test_x=None, test_y=None, tag=''):
+        """tag='best' writes model_best.pt / orbax_state_best alongside the
+        cadence checkpoint (--keep_best harness path)."""
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
+        suffix = f'_{tag}' if tag else ''
         if self.G.get('ckpt', 'flax') == 'orbax':
             # Orbax full-train-state checkpoint (SURVEY.md §5): async-capable
             # production path; layout is a directory instead of one file
@@ -365,7 +377,7 @@ class GM:
 
             import orbax.checkpoint as ocp
 
-            target = (path / 'orbax_state').resolve()
+            target = (path / f'orbax_state{suffix}').resolve()
             if target.exists():
                 shutil.rmtree(target)
             ckptr = ocp.StandardCheckpointer()
@@ -375,7 +387,7 @@ class GM:
             if hasattr(ckptr, 'wait_until_finished'):
                 ckptr.wait_until_finished()  # save finalizes asynchronously
             return
-        with open(path / 'model.pt', 'wb') as f:
+        with open(path / f'model{suffix}.pt', 'wb') as f:
             f.write(serialization.to_bytes(self._host_state_raw_rng()))
 
     def load_weights(self, path):
@@ -386,8 +398,12 @@ class GM:
             orbax_dir = path / 'orbax_state'
         elif path.name == 'orbax_state' and path.is_dir():
             orbax_dir = path
-        elif not path.exists() and (path.parent / 'orbax_state').exists():
-            orbax_dir = path.parent / 'orbax_state'  # --weights_from dir/model.pt
+        elif not path.exists():
+            # --weights_from dir/model.pt (or dir/model_best.pt) under the
+            # orbax backend: map the filename onto its directory layout
+            alt = path.parent / path.name.replace('model', 'orbax_state').removesuffix('.pt')
+            if alt.is_dir():
+                orbax_dir = alt
         if orbax_dir is not None:
             import orbax.checkpoint as ocp
 

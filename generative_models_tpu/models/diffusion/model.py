@@ -112,11 +112,16 @@ class DiffusionModel(GM):
         )
 
     def init_params(self, rng):
+        # jitted for the same reason as GM.init_params: one SPMD program
+        # instead of eager per-op modules under a mesh
         x = jnp.zeros((1, self.size, self.size, 1), jnp.float32)
-        return self.net.init(
-            rng, x, jnp.zeros((1,)), guide=jnp.zeros((1,), jnp.int32),
-            cond_w=jnp.zeros((1,)) if self.has_teacher else None, train=False,
-        )['params']
+        return jax.jit(
+            lambda r: self.net.init(
+                r, x, jnp.zeros((1,)), guide=jnp.zeros((1,), jnp.int32),
+                cond_w=jnp.zeros((1,)) if self.has_teacher else None,
+                train=False,
+            )['params']
+        )(rng)
 
     def param_sharding_rules(self):
         # TP over UNet channels: ResBlock Conv_0 + emb Dense column-parallel

@@ -90,6 +90,12 @@ def global_defaults():
     # re-runs reload compiled executables from disk instead of recompiling
     DG.nan_guard = 1          # abort on non-finite train metrics (a blown-up
     # run wastes every later epoch and poisons --resume checkpoints)
+    DG.keep_best = ''         # metric to track for a best-checkpoint
+    # ('nlogp' -> eval/nlogp, 'fid' -> eval/fid, or any full logger key):
+    # whenever the tracked metric improves (lower is better), the harness
+    # saves model_best.pt (or orbax_state_best) + best.json next to the
+    # cadence saves, so best-epoch rows in RESULTS.json are servable
+    # artifacts (--weights_from logdir/model_best.pt). '' = off.
     DG.resume = 0             # auto-resume: reload logdir's checkpoint (full
     # train state: params + optimizer + step) and continue the epoch loop
     # where it stopped — rerun the SAME command after a preemption/crash.

@@ -141,3 +141,41 @@ def test_auto_resume_continues_epoch_loop(tmp_path, monkeypatch, capsys):
     main(args[:1] + [f'--logdir={d2}'] + args[2:] + ga + ['--epochs=2'])
     out3 = capsys.readouterr().out
     assert 'RESUMING at epoch 1' in out3  # step 4 / 4 steps-per-epoch = 1
+
+
+def test_keep_best_checkpoint(tmp_path, monkeypatch, capsys):
+    """--keep_best=nlogp: the harness saves model_best.pt + best.json
+    whenever eval/nlogp improves, and the best checkpoint is loadable via
+    --weights_from logdir/model_best.pt (the serving round-trip entry).
+    Motivated by round-4 RESULTS rows where the best epoch a run visited
+    (wavenet 0.108@1, gan 0.081@10) was not a reproducible artifact."""
+    import json
+
+    import generative_models_tpu.data.mnist as mdata
+    from generative_models_tpu.main import main
+
+    monkeypatch.setattr(mdata, 'TRAIN_N', 64)
+    monkeypatch.setattr(mdata, 'TEST_N', 32)
+    args = [
+        '--model=made',
+        f'--logdir={tmp_path}',
+        '--bs=16',
+        '--hidden_size=32',
+        '--data_source=synthetic',
+        '--save_n=5',
+        '--eval_heavy=0',
+        '--keep_best=nlogp',
+        '--epochs=3',
+    ]
+    main(args)
+    out = capsys.readouterr().out
+    assert 'SAVED BEST' in out
+    assert (tmp_path / 'model_best.pt').exists()
+    best = json.loads((tmp_path / 'best.json').read_text())
+    assert best['metric'] == 'eval/nlogp'
+    assert np.isfinite(best['value']) and best['epoch'] >= 0
+
+    # the best checkpoint round-trips through the normal weights path
+    m = MADE(small_G(tmp_path, hidden_size=32, bs=16))
+    m.load_weights(tmp_path / 'model_best.pt')
+    assert int(m.state.step) == 4 * best['epoch']
