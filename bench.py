@@ -105,24 +105,55 @@ def _fetch(out):
     )
 
 
-def timeit(fn, n=2, warmup=1, trials=3):
-    """Best-of-`trials` timing of `n` back-to-back calls.
+def timeit_stats(fn, n=2, warmup=1, trials=3):
+    """Timing stats over `trials` measurements of `n` back-to-back calls.
 
     The remote-TPU tunnel adds one-sided noise (contention only ever makes a
     run SLOWER), so min-of-trials is the honest estimator of the device's
     actual throughput — a single noisy refresh once recorded made at 135
-    steps/s when the chip does ~1000 (BENCH_EXTRA history at c84284a)."""
+    steps/s when the chip does ~1000 (BENCH_EXTRA history at c84284a). The
+    full (min, median, max) spread is recorded in BENCH_EXTRA provenance so
+    every published number carries its own same-session variance context
+    (day-to-day tunnel variance on LATENCY metrics is 2-3x; only
+    same-session A/Bs are comparable, docs/PERF.md 'Measurement
+    discipline')."""
     for _ in range(warmup):
         out = fn()
     _fetch(out)
-    best = float('inf')
+    times = []
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn()
         _fetch(out)  # train steps chain through state, so this bounds all n
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
+        times.append((time.perf_counter() - t0) / n)
+    times.sort()
+    return {
+        'min': times[0],
+        'median': times[len(times) // 2],
+        'max': times[-1],
+        'n': n,
+        'warmup': warmup,
+        'trials': trials,
+        'barrier': 'device_get',
+        'estimator': 'min',
+    }
+
+
+def timeit(fn, n=2, warmup=1, trials=3):
+    return timeit_stats(fn, n=n, warmup=warmup, trials=trials)['min']
+
+
+# per-metric measurement provenance (BENCH_EXTRA schema v2): how each number
+# was produced — workload, timed-call structure, barrier, estimator, and the
+# same-session (min, median, max) spread — so any value can be audited
+# without reading docs/PERF.md prose
+PROV = {}
+
+
+def put(extra, key, stats, workload):
+    extra[key] = stats['min']
+    PROV[key] = dict(stats, workload=workload)
 
 
 _DATASETS = {}
@@ -156,16 +187,30 @@ def bench_model(name, extra, rng):
     # shuffled batches from the training data path ----
     bx, by = ds.epoch_batches(jax.random.key(0))
     ex, ey = bx[:EPOCH_STEPS], by[:EPOCH_STEPS]
-    dte = timeit(lambda: model.train_epoch(ex, ey), n=2, warmup=1)
-    sps = EPOCH_STEPS / dte
+    st = timeit_stats(lambda: model.train_epoch(ex, ey), n=2, warmup=1)
+    sps = EPOCH_STEPS / st['min']
     extra[f'{name}_train_steps_per_sec'] = sps
+    PROV[f'{name}_train_steps_per_sec'] = dict(
+        st,
+        workload=f'{EPOCH_STEPS}-step jitted epoch scan, bs=64, shuffled '
+                 'batches; steps_per_sec = steps / min-trial seconds',
+    )
 
     ref_sps = _REF.get(f'{REF_KEY[name]}_steps_per_sec')
     if ref_sps:
         extra[f'{name}_vs_cpu_reference'] = sps / ref_sps
+        PROV[f'{name}_vs_cpu_reference'] = {
+            'workload': 'derived: train_steps_per_sec / '
+                        'reference_cpu_baseline.json (torch-CPU, '
+                        'scripts/measure_reference_cpu.py)'
+        }
     fl = _FLOPS.get(name, {}).get('flops_per_step')
     if fl:
         extra[f'{name}_mfu'] = fl * sps / PEAK_FLOPS
+        PROV[f'{name}_mfu'] = {
+            'workload': 'derived: XLA-counted FLOPs/step (model_flops.json, '
+                        'bs=64) * steps_per_sec / 197e12 bf16 peak'
+        }
 
     # ---- full reference-workload epoch, end to end: 937 steps at bs=64
     # (BASELINE.md workload constants) including the on-device shuffle
@@ -173,29 +218,56 @@ def bench_model(name, extra, rng):
     # epoch costs, not just the steady-state scan ----
     bx, by = ds.epoch_batches(jax.random.key(1))
     model.train_epoch(bx, by)  # compile the full-epoch scan shape
-    t0 = time.perf_counter()
-    bx, by = ds.epoch_batches(jax.random.key(2))
-    jax.device_get(model.train_epoch(bx, by))
-    extra[f'{name}_epoch_wall_sec'] = time.perf_counter() - t0
+
+    def full_epoch(k):
+        bx, by = ds.epoch_batches(jax.random.key(k))
+        return jax.device_get(model.train_epoch(bx, by))
+
+    times = []
+    for k in (2, 3):
+        t0 = time.perf_counter()
+        full_epoch(k)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    extra[f'{name}_epoch_wall_sec'] = times[0]
+    PROV[f'{name}_epoch_wall_sec'] = {
+        'min': times[0], 'max': times[-1], 'n': 1, 'warmup': 1, 'trials': 2,
+        'barrier': 'device_get', 'estimator': 'min',
+        'workload': '937-step full epoch, bs=64, end to end: on-device '
+                    'shuffle permutation + jitted scan + host metric pull',
+    }
 
     # ---- sampling latency ----
+    # per-call latency (n=1, min-of-5): matches the same-session A/B scripts
+    # (scripts/decode_ab.py). The spread lands in provenance; LATENCY numbers
+    # carry 2-3x day-to-day remote-tunnel variance, so cross-session
+    # comparisons are only valid against the recorded same-session spread.
+    _LAT_NOTE = 'per-call latency; day-to-day tunnel variance 2-3x, compare '\
+                'same-session only (docs/PERF.md Measurement discipline)'
     if name in ('autoencoder', 'classifier'):
         return model, sps  # eval arbiters don't sample
     try:
         if name == 'diffusion_model':
             yy = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
-            extra['ddpm_sample64_sec'] = timeit(
-                lambda: model.sample(64, y=yy), n=2, warmup=1
-            )
+            put(extra, 'ddpm_sample64_sec',
+                timeit_stats(lambda: model.sample(64, y=yy), n=1, warmup=1,
+                             trials=5),
+                f'class-conditional 64-sample DDPM chain (full T); {_LAT_NOTE}')
             # serving path (serve.py SampleServer): pad-to-serve_bs request
             # latency through the same compiled graph the server uses
             from generative_models_tpu.serve import SampleServer
 
             srv = SampleServer(model, serve_bs=64)
             srv.warm()
-            for _ in range(3):
+            for _ in range(5):
                 srv.sample(64)
-            extra['serving_sample64_p50_sec'] = srv.stats()['latency_p50_sec']
+            s = srv.stats()
+            extra['serving_sample64_p50_sec'] = s['latency_p50_sec']
+            PROV['serving_sample64_p50_sec'] = {
+                'trials': 5, 'estimator': 'p50',
+                'min': min(srv.latencies), 'max': max(srv.latencies),
+                'workload': f'SampleServer request path, serve_bs=64; {_LAT_NOTE}',
+            }
             # fast-sampler serving path: DPM-Solver++(2M) at 25 steps
             # (--sampler=dpm2m --sample_steps=25; FID-vs-steps tradeoff
             # measured in EVAL.json fast_sampler_sweep)
@@ -208,13 +280,15 @@ def bench_model(name, extra, rng):
                 discover_models=discover_models,
             )
             m2 = Model2(G=G2)
-            extra['ddpm_dpm2m25_sample64_sec'] = timeit(
-                lambda: m2.sample(64, y=yy), n=2, warmup=1
-            )
+            put(extra, 'ddpm_dpm2m25_sample64_sec',
+                timeit_stats(lambda: m2.sample(64, y=yy), n=1, warmup=1,
+                             trials=5),
+                f'DPM-Solver++(2M) 25-step 64-sample chain; {_LAT_NOTE}')
         else:
-            extra[f'{name}_sample25_sec'] = timeit(
-                lambda: model.sample(25), n=2, warmup=1
-            )
+            put(extra, f'{name}_sample25_sec',
+                timeit_stats(lambda: model.sample(25), n=1, warmup=1, trials=5),
+                f'native sample(25) incl. sampling-process video frames '
+                f'(same workload as scripts/decode_ab.py); {_LAT_NOTE}')
     except Exception as e:
         extra[f'{name}_sample_error'] = repr(e)
     return model, sps
@@ -239,8 +313,15 @@ def main():
                 # per-call step (dispatch-bound) for continuity with round 1
                 x = jnp.asarray(rng.randn(64, 28, 28, 1), jnp.float32)
                 y = jnp.asarray(rng.randint(0, 10, 64), jnp.int32)
-                dt = timeit(lambda: model.train_step(x, y), n=10, warmup=2)
-                extra['diffusion_train_ms_per_step'] = dt * 1e3
+                st = timeit_stats(
+                    lambda: model.train_step(x, y), n=10, warmup=2
+                )
+                extra['diffusion_train_ms_per_step'] = st['min'] * 1e3
+                PROV['diffusion_train_ms_per_step'] = dict(
+                    st,
+                    workload='per-call train_step dispatch (10 back-to-back '
+                             'calls / trial), bs=64; round-1 continuity metric',
+                )
             print(f'[bench] {name}: done in {time.time() - t0:.1f}s', flush=True)
         except Exception as e:  # keep the headline alive if a sideshow breaks
             extra[f'{name}_error'] = repr(e)
@@ -248,6 +329,8 @@ def main():
 
     cpu_ref = _REF.get('diffusion_steps_per_sec')
     extra['cpu_reference_steps_per_sec'] = cpu_ref
+    extra['schema'] = 2  # v2: per-metric measurement provenance attached
+    extra['provenance'] = PROV
     (_ROOT / 'BENCH_EXTRA.json').write_text(json.dumps(extra, indent=2))
 
     line = {

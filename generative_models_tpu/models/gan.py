@@ -22,6 +22,20 @@ def dcgan_normal_init(scale=0.02):
     return nn.initializers.normal(stddev=scale)
 
 
+def dcgan_bn_scale_init(scale=0.02):
+    """BatchNorm scales ~ N(1.0, 0.02) — the reference's weights_init
+    (gms/gans/gan.py:115-121) centers BN weights at 1. Rounds 1-4 used the
+    conv initializer N(0, 0.02) here by mistake, which strangles the forward
+    signal at init (BN output ~= 0.02 * normalized, so ReLU activations
+    start ~50x too small); scripts/gan_crosscheck.py measures the training-
+    dynamics consequence of that deviation side by side."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.ones(shape, dtype) + scale * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
 class Generator(nn.Module):
     """noise -> 28x28 tanh image (gms/gans/gan.py:68-89 geometry)."""
 
@@ -38,7 +52,7 @@ class Generator(nn.Module):
             )(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9,
-                scale_init=dcgan_normal_init(),
+                scale_init=dcgan_bn_scale_init(),
             )(x)
             x = nn.relu(x)
         x = nn.ConvTranspose(
@@ -76,7 +90,7 @@ class Discriminator(nn.Module):
             x = self._conv(x, H, stride, train)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9,
-                scale_init=dcgan_normal_init(),
+                scale_init=dcgan_bn_scale_init(),
             )(x)
             x = nn.leaky_relu(x, 0.01)
         x = self._conv(x, 1, 2, train)

@@ -90,6 +90,16 @@ def bench_table(bench):
             f" {fmt(bench.get(f'{m}_mfu'))} |"
             f" {fmt(bench.get(f'{m}_sample25_sec'))} |"
         )
+    rows += [
+        '',
+        'MFU is measured at the reference workload (bs=64, 28×28). The'
+        ' latency/shape-bound rows have batch-size ceilings, not kernel'
+        ' ceilings — measured bs=64 → bs=256 with the same kernels:'
+        ' made 0.010 → 0.039, rnn 0.068 → 0.121, classifier 0.085 → 0.252'
+        ' (docs/PERF.md "The MFU tail, with arithmetic"). Sample latencies'
+        ' carry 2-3× day-to-day remote-tunnel variance; the same-session'
+        ' spread for every number is in BENCH_EXTRA.json `provenance`.',
+    ]
     return '\n'.join(rows)
 
 
@@ -125,6 +135,84 @@ def sampler_table(sweep):
             f" {fmt(r.get('sample64_p50_sec'), 4)} |"
         )
     return '\n'.join(rows)
+
+
+def gan_sweep_section(results):
+    """Render the GAN collapse finding + 50-epoch stabilizer sweep
+    (scripts/collect_gan_sweep.py; VERDICT r4 item 5)."""
+    sw = results.get('gan_sweep', {})
+    runs = sw.get('runs', {})
+    if not runs:
+        return None
+    lines = [
+        'The reference-exact DCGAN config **collapses on this workload**:'
+        ' the discriminator wins outright (train disc loss < 0.1 by epoch'
+        ' ~2, gen loss climbing to ~10), sample quality peaks early then'
+        ' degenerates (FID best 0.081 @ epoch 10 → 0.787 @ epoch 50,'
+        ' precision/recall 0.0). The 50-epoch chip sweep'
+        ' (`scripts/gan_stabilizer_sweep.sh`, collected by'
+        ' `scripts/collect_gan_sweep.py`):',
+        '',
+        '| variant | disc_lr | label smooth | SN | FID final | FID'
+        ' best@epoch | precision | recall | disc-loss final | collapse'
+        ' onset (epoch) |',
+        '|---|---|---|---|---|---|---|---|---|---|',
+    ]
+    for name, r in runs.items():
+        cfg = r.get('config', {})
+        lines.append(
+            f"| {name} | {fmt(cfg.get('disc_lr'), 6)} |"
+            f" {fmt(cfg.get('label_smooth'), 2)} |"
+            f" {cfg.get('spectral_norm', 0)} | {fmt(r.get('fid_final'))} |"
+            f" {fmt(r.get('fid_best'))}@{r.get('fid_best_epoch', '?')} |"
+            f" {fmt(r.get('precision'))} | {fmt(r.get('recall'))} |"
+            f" {fmt(r.get('disc_loss_final'), 4)} |"
+            f" {r.get('collapse_onset_epoch', '—')} |"
+        )
+    lines += [
+        '',
+        'Only **braking the discriminator lr** (`--disc_lr=1e-5`, 5× slower'
+        ' than the generator) rescues the run — FID 0.039,'
+        ' precision/recall 0.77/0.88. One-sided label smoothing keeps the'
+        ' disc loss bounded (no formal collapse) but the samples still'
+        ' degenerate; spectral norm on top makes it worse. Mechanism: on'
+        ' this small, near-duplicate-heavy fallback set the discriminator'
+        ' can memorize real images within ~2 epochs; slowing only its'
+        ' optimizer keeps its loss in a band (~0.4 final) where generator'
+        ' gradients stay informative. Defaults remain reference-exact'
+        ' (stabilizers opt-in). The `gan_stab` zoo row is a re-run of the'
+        ' winning config — its bit-identical FID doubles as a determinism'
+        ' check of the training stack.',
+    ]
+    return '\n'.join(lines)
+
+
+def gan_crosscheck_section(cross):
+    """Render the cross-framework GAN collapse check
+    (scripts/gan_crosscheck.py; VERDICT r4 item 1): does the TORCH reference
+    DCGAN collapse the same way on the identical fallback data?"""
+    lines = [
+        'Same fallback dataset, same batch order, aligned bs=64 steps;'
+        ' FID for every side scored by the same shipped autoencoder'
+        ' arbiter. `ours_legacy` is the round-1..4 BN-scale init deviation'
+        ' (N(0,0.02) where the reference uses N(1,0.02)) measured for the'
+        ' record; `ours` is the corrected init.',
+        '',
+        '| side | step | disc loss | gen loss | FID |',
+        '|---|---|---|---|---|',
+    ]
+    for side in ('reference', 'ours', 'ours_legacy'):
+        rec = cross.get(side)
+        if not rec:
+            continue
+        fids = rec.get('fid', [])
+        for i, s in enumerate(rec['steps']):
+            fid = fmt(fids[i]) if i < len(fids) else '—'
+            lines.append(
+                f"| {side} | {s} | {fmt(rec['disc_loss'][i], 4)} |"
+                f" {fmt(rec['gen_loss'][i], 3)} | {fid} |"
+            )
+    return '\n'.join(lines)
 
 
 def crosscheck_section(cross):
@@ -200,6 +288,15 @@ def main():
     if cross:
         parts += ['', '## The conv-AR bits/dim "anomaly", resolved', '',
                   crosscheck_section(cross)]
+    if results:
+        sweep = gan_sweep_section(results)
+        if sweep:
+            parts += ['', '## GAN collapse and the stabilizer sweep', '',
+                      sweep]
+    gcross = load('gan_crosscheck.json')
+    if gcross:
+        parts += ['', '## GAN collapse, cross-framework', '',
+                  gan_crosscheck_section(gcross)]
     if bench:
         dev = bench.get('device', 'TPU')
         parts += [
