@@ -10,17 +10,32 @@ being mirrored: gms/main.py:152-217.
 import numpy as np
 
 
-def parity_arrays(train_n=4096, binarize=1):
-    """(x, y): digits-upsampled images (NHWC float32, transformed) + labels,
-    deterministic at fixed sizes."""
+def parity_arrays(train_n=4096, binarize=1, data_dir=None):
+    """(x, y): images (NHWC float32, transformed) + labels, deterministic at
+    fixed sizes.
+
+    Source: digits-upsampled fallback by default; when `data_dir` (or the
+    GMT_PARITY_DATA env var) points at MNIST idx files, the first train_n
+    REAL images instead — both parity sides import this module, so flipping
+    the env var moves the whole cross-framework comparison onto real MNIST
+    with no other change (rehearsed end-to-end by scripts/idx_rehearsal.py)."""
+    import os
+
     import generative_models_tpu.data.mnist as M
 
-    old = (M.TRAIN_N, M.TEST_N)
-    M.TRAIN_N, M.TEST_N = train_n, 256
-    try:
-        tx, ty, _, _ = M._load_digits_upsampled()
-    finally:
-        M.TRAIN_N, M.TEST_N = old
+    data_dir = data_dir or os.environ.get('GMT_PARITY_DATA') or None
+    if data_dir:
+        loaded = M._load_mnist_idx(data_dir)
+        assert loaded is not None, f'no MNIST idx files under {data_dir}'
+        tx, ty = loaded[0][:train_n], loaded[1][:train_n]
+        assert tx.shape[0] == train_n, (tx.shape, train_n)
+    else:
+        old = (M.TRAIN_N, M.TEST_N)
+        M.TRAIN_N, M.TEST_N = train_n, 256
+        try:
+            tx, ty, _, _ = M._load_digits_upsampled()
+        finally:
+            M.TRAIN_N, M.TEST_N = old
     x = M._apply_transforms(tx, binarize, 0)
     return np.asarray(x), np.asarray(ty)
 

@@ -29,8 +29,13 @@ the on-device Dataset; epoch_batches(train=True) is refused — the training
 harness uses stream_epoch() per-step iteration instead (main.py routes on
 `dataset.is_streaming`).
 
-Enable on the CLI with --stream_data=1 (any --data_source); measured
-overhead vs the on-device epoch-in-one-jit path is recorded in docs/PERF.md.
+Enable on the CLI with --stream_data=1 (any --data_source). Measured on
+chip (scripts/stream_measure.py -> STREAM.json, docs/PERF.md "Streaming
+data tier"): overhead vs the on-device epoch-in-one-jit path is 1.01x for
+gated_pixel_cnn (compute hides the per-step dispatch+H2D), 1.9x for
+diffusion, 46.9x for sub-millisecond-step made — and the >HBM capability
+run (5.4M-image memmap split, 16.9 GB f32-equivalent vs 15.75 GB HBM)
+trains end-to-end, which the on-device tier cannot express at all.
 """
 
 import queue

@@ -15,8 +15,10 @@ GOLDEN = {
     'diffusion': 49.48776626586914,
     # twin-optimizer models (riskiest state handling): capture via
     # scripts/capture_goldens.py
-    'gan_disc': 1.3839412927627563,
-    'gan_gen': 0.6934234499931335,
+    # re-captured round 5 after the BN-scale init fix (N(1,0.02), matching
+    # the reference weights_init; see models/gan.py::dcgan_bn_scale_init)
+    'gan_disc': 1.3954050540924072,
+    'gan_gen': 0.677801787853241,
     'vqvae': 0.6948038339614868,
     'vqvae_prior': 2.3010213375091553,
 }
