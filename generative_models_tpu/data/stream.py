@@ -32,10 +32,14 @@ harness uses stream_epoch() per-step iteration instead (main.py routes on
 Enable on the CLI with --stream_data=1 (any --data_source). Measured on
 chip (scripts/stream_measure.py -> STREAM.json, docs/PERF.md "Streaming
 data tier"): overhead vs the on-device epoch-in-one-jit path is 1.01x for
-gated_pixel_cnn (compute hides the per-step dispatch+H2D), 1.9x for
-diffusion, 46.9x for sub-millisecond-step made — and the >HBM capability
-run (5.4M-image memmap split, 16.9 GB f32-equivalent vs 15.75 GB HBM)
-trains end-to-end, which the on-device tier cannot express at all.
+gated_pixel_cnn (compute hides the per-step dispatch+H2D), 1.83x for
+diffusion — reduced to 1.00x by --stream_chunk=16 (stacked blocks through
+the jitted multi-step scan; dispatch count / 16, same batch order) — and
+38x for sub-millisecond-step made, where the residual is raw H2D bandwidth
+(188 MB of batches over a ~40 MB/s tunnel), not dispatch. The >HBM
+capability run (6M-image memmap split, 17.5 GiB f32-equivalent vs
+15.75 GiB HBM) trains a full epoch end-to-end at ~14k imgs/s, which the
+on-device tier cannot express at all.
 """
 
 import queue
@@ -181,28 +185,56 @@ class StreamingDataset:
         self.steps_per_epoch = train_x.shape[0] // self.bs  # drop_last
         self.test_steps = self.test_x.shape[0] // self.bs
 
-    def stream_epoch(self, key_or_seed):
+    def stream_epoch(self, key_or_seed, chunk=1):
         """One shuffled pass over the training split: an iterator (also a
         context manager) of (x, y) batches already placed on device with
-        the data-axis batch sharding. Deterministic in the key."""
+        the data-axis batch sharding. Deterministic in the key.
+
+        chunk > 1 stages STACKED (chunk, bs, ...) batch blocks instead of
+        single batches — the consumer runs the jitted multi-step epoch scan
+        on each block (main.py: model.train_epoch), cutting per-step
+        dispatch round-trips (the measured streaming overhead on
+        sub-10ms-step models, docs/PERF.md "Streaming data tier") by
+        chunk x while device memory stays bounded by chunk batches. The
+        batch order is IDENTICAL to chunk=1 (one permutation up front)."""
         rng = np.random.default_rng(_np_seed_from_key(key_or_seed))
         n = self.steps_per_epoch * self.bs
         perm = rng.permutation(self.train_x.shape[0])[:n]
+        chunk = max(1, int(chunk))
+
+        def slice_batch(s):
+            idx = np.sort(perm[s * self.bs : (s + 1) * self.bs])
+            # sorted fancy-index: sequential-ish reads for memmaps; the
+            # within-batch order is shuffled again below so sorting
+            # costs no randomness across epochs
+            order = rng.permutation(self.bs)
+            bx = np.asarray(self.train_x[idx])[order]
+            by = np.asarray(self.train_y[idx])[order]
+            if self.transform is not None:
+                bx = np.asarray(self.transform(bx))
+            return bx, by
 
         def produce():
-            for s in range(self.steps_per_epoch):
-                idx = np.sort(perm[s * self.bs : (s + 1) * self.bs])
-                # sorted fancy-index: sequential-ish reads for memmaps; the
-                # within-batch order is shuffled again below so sorting
-                # costs no randomness across epochs
-                order = rng.permutation(self.bs)
-                bx = np.asarray(self.train_x[idx])[order]
-                by = np.asarray(self.train_y[idx])[order]
-                if self.transform is not None:
-                    bx = np.asarray(self.transform(bx))
+            if chunk == 1:
+                for s in range(self.steps_per_epoch):
+                    bx, by = slice_batch(s)
+                    yield (
+                        jax.device_put(bx, self._sh_x),
+                        jax.device_put(by, self._sh_y),
+                    )
+                return
+            from generative_models_tpu.parallel import mesh as pmesh
+
+            shx = pmesh.batch_sharding(self.mesh, ndim=5, batch_dim=1)
+            shy = pmesh.batch_sharding(self.mesh, ndim=2, batch_dim=1)
+            for c0 in range(0, self.steps_per_epoch, chunk):
+                steps = min(chunk, self.steps_per_epoch - c0)
+                pairs = [slice_batch(c0 + i) for i in range(steps)]
+                bx = np.stack([p[0] for p in pairs])
+                by = np.stack([p[1] for p in pairs])
                 yield (
-                    jax.device_put(bx, self._sh_x),
-                    jax.device_put(by, self._sh_y),
+                    jax.device_put(bx, shx),
+                    jax.device_put(by, shy),
                 )
 
         return _PrefetchIterator(produce, self.prefetch)

@@ -265,9 +265,19 @@ def train(model, dataset, autoencoder, classifier, G):
             if getattr(dataset, 'is_streaming', False):
                 # host-streaming path (data/stream.py): batches arrive from
                 # the prefetch thread already device-placed; every step
-                # dispatches async and metrics sync to host once at epoch end
-                with dataset.stream_epoch(dk) as batches:
-                    step_metrics = [model.train_step(x, y) for x, y in batches]
+                # dispatches async and metrics sync to host once at epoch
+                # end. --stream_chunk=k>1 stages stacked blocks and runs the
+                # jitted k-step scan per block (k-fold fewer dispatches).
+                chunk = int(G.get('stream_chunk', 1))
+                with dataset.stream_epoch(dk, chunk=chunk) as batches:
+                    if chunk > 1:
+                        step_metrics = [
+                            model.train_epoch(cx, cy) for cx, cy in batches
+                        ]
+                    else:
+                        step_metrics = [
+                            model.train_step(x, y) for x, y in batches
+                        ]
             elif G.get('jit_epoch', 1):
                 bx, by = dataset.epoch_batches(dk, train=True)
                 metrics = model.train_epoch(bx, by)

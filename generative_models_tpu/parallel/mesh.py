@@ -64,12 +64,15 @@ def set_mesh(mesh):
     _GLOBAL_MESH = mesh
 
 
-def batch_sharding(mesh=None, ndim=4):
-    """NamedSharding that splits axis 0 (batch) over the data axis and
-    replicates the rest."""
+def batch_sharding(mesh=None, ndim=4, batch_dim=0):
+    """NamedSharding that splits the batch axis (`batch_dim`) over the data
+    axis and replicates the rest (batch_dim=1 for (steps, bs, ...) stacked
+    epoch/chunk blocks)."""
     mesh = mesh or get_mesh()
     if DATA_AXIS in mesh.axis_names:
-        return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+        spec = [None] * ndim
+        spec[batch_dim] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
     return NamedSharding(mesh, P(*([None] * ndim)))
 
 

@@ -85,6 +85,11 @@ def global_defaults():
     # batches to device via a background prefetch thread — the pipeline
     # shape for datasets beyond HBM (np.memmap-backed splits work)
     DG.prefetch_depth = 2     # staged-batch queue depth for --stream_data
+    DG.stream_chunk = 1       # --stream_data with chunk k>1: stage stacked
+    # (k, bs, ...) blocks and run the jitted k-step epoch scan per block —
+    # k-fold fewer dispatch round-trips (the measured streaming overhead on
+    # fast-step models, docs/PERF.md) with device memory bounded by k
+    # batches; batch order is identical to k=1
     DG.ckpt = 'flax'          # checkpoint backend: 'flax' bytes | 'orbax'
     DG.compile_cache = ''     # persistent XLA compile-cache dir ('' = off):
     # re-runs reload compiled executables from disk instead of recompiling

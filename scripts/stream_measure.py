@@ -101,10 +101,28 @@ def overhead(models):
             _fetch(metrics)
             stream.append(time.perf_counter() - t0)
 
+        # chunked streaming (--stream_chunk=16): stacked blocks through the
+        # jitted 16-step scan — 16x fewer dispatch round-trips
+        chunk = 16
+        with sds.stream_epoch(14, chunk=chunk) as batches:  # compile shapes
+            for cx, cy in batches:
+                model.train_epoch(cx, cy)
+        chunked = []
+        for k in (15, 16):
+            t0 = time.perf_counter()
+            metrics = None
+            with sds.stream_epoch(k, chunk=chunk) as batches:
+                for cx, cy in batches:
+                    metrics = model.train_epoch(cx, cy)
+            _fetch(metrics)
+            chunked.append(time.perf_counter() - t0)
+
         row = {
             'on_device_epoch_sec': min(dev),
             'stream_epoch_sec': min(stream),
             'overhead_x': min(stream) / min(dev),
+            'stream_chunk16_epoch_sec': min(chunked),
+            'chunk16_overhead_x': min(chunked) / min(dev),
             'steps': ds.steps_per_epoch,
             'bs': G.bs,
             'trials': 2,
@@ -114,7 +132,9 @@ def overhead(models):
         results[name] = row
         print(f'[overhead] {name}: on-device {row["on_device_epoch_sec"]:.2f}s '
               f'stream {row["stream_epoch_sec"]:.2f}s '
-              f'({row["overhead_x"]:.2f}x)', flush=True)
+              f'({row["overhead_x"]:.2f}x) '
+              f'chunk16 {row["stream_chunk16_epoch_sec"]:.2f}s '
+              f'({row["chunk16_overhead_x"]:.2f}x)', flush=True)
     data = json.loads(OUT.read_text()) if OUT.exists() else {}
     data.setdefault('overhead', {}).update(results)
     _merge('overhead', data['overhead'])
