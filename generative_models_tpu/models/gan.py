@@ -113,12 +113,16 @@ class GAN(GM):
     # opt-in stabilizers (both default-off => reference-exact training):
     DG.disc_lr = 0.0  # separate discriminator lr (0 = --lr for both). On
     # this workload the measured failure mode is the DISC winning outright
-    # (disc loss -> 0, gen loss -> 10, samples collapse by epoch ~3; the
-    # reference-exact config ends 50 epochs at FID 0.79). Chip-measured
-    # 50-epoch sweep (scripts/gan_stabilizer_sweep.sh, docs/RESULTS.md):
-    # --disc_lr=1e-5 alone FIXES it — FID 0.039, precision/recall
-    # 0.77/0.88 — while TTUR disc_lr=4x, label smoothing, and SN variants
-    # all still collapse. Defaults stay reference-exact.
+    # (sustained disc loss < 0.1 from epoch 2, gen loss -> 10; the
+    # reference-exact config ends 50 epochs at FID 0.79). The collapse is
+    # DATA-BORNE, not a framework bug: the torch reference DCGAN on the
+    # identical fallback data/batch order follows the same trajectory
+    # (scripts/gan_crosscheck.py -> gan_crosscheck.json, docs/RESULTS.md
+    # "GAN collapse, cross-framework"). Chip-measured 50-epoch sweep
+    # (scripts/gan_stabilizer_sweep.sh, docs/RESULTS.md): --disc_lr=1e-5
+    # alone FIXES it — FID 0.039, precision/recall 0.77/0.88 — while label
+    # smoothing and SN variants keep disc loss bounded but samples still
+    # degenerate. Defaults stay reference-exact.
     DG.spectral_norm = 0  # spectral-normalize the discriminator convs
     DG.label_smooth = 0.0  # one-sided label smoothing: disc's real target
     # becomes 1 - label_smooth (Salimans et al. 2016); measured on this

@@ -45,6 +45,13 @@ def model_results(logdir, model):
     if 'dt/train' in tags:
         out['train_total_sec'] = sum(e.value for e in acc.Scalars('dt/train'))
         out['epochs_trained'] = len(acc.Scalars('dt/train'))
+    if (logdir / 'model_best.pt').exists():
+        # --keep_best ran: the *_best rows below are servable artifacts
+        # (--weights_from <logdir>/model_best.pt), not just table entries
+        out['best_checkpoint'] = str(logdir / 'model_best.pt')
+        best_meta = logdir / 'best.json'
+        if best_meta.exists():
+            out['best_checkpoint_meta'] = json.loads(best_meta.read_text())
     # early-stopped optimum: the fallback-digits dataset has a ~1.5k-image
     # base set, so high-capacity models (the conv ARs especially) reach
     # their best test bpd within a few epochs and then overfit — the

@@ -10,8 +10,8 @@ export PYTHONPATH=$PWD${PYTHONPATH:+:$PYTHONPATH}
 
 run () {
   name=$1; shift
-  python -m generative_models_tpu.main --model=gan --epochs=50 --save_n=50 \
-    --eval_heavy=1 --logdir=logs/gan_sweep/$name "$@"
+  python -m generative_models_tpu.main --model=gan --epochs=50 --save_n=10 \
+    --eval_heavy=1 --keep_best=fid --logdir=logs/gan_sweep/$name "$@"
 }
 
 run smooth      --label_smooth=0.1
