@@ -60,9 +60,15 @@ TOL = {
     'classifier': 0.15,
 }
 # oscillating metrics (GAN disc loss has no 'lower is better'): assert a
-# two-sided band around the reference level instead of one-sided tolerance
-# (tightened 3.0 -> 2.5; recorded full-length ratio is 1.85x)
-BAND = {'gan': 2.5}
+# two-sided band around the reference level instead of one-sided tolerance.
+# Round-5 tightening (VERDICT r4 item 8): after the BN-scale init fix
+# (models/gan.py::dcgan_bn_scale_init) the recorded full-length ratio is
+# 1.62x and the capped-20 live ratio 1.71x (was 1.85x), so 3.0 -> 2.5 ->
+# 2.0. The long-horizon training-dynamics contract (both frameworks'
+# discriminators dominate on this data, same trajectory shape) is asserted
+# separately over the gan_crosscheck.json artifact in
+# tests/test_gan_crosscheck.py.
+BAND = {'gan': 2.0}
 # CPU-runtime caps: run only this many steps, compare against the same-length
 # prefix of the reference curve (XLA-CPU convs are seconds-to-minutes/step
 # for the conv models). Every model is compared on >= 20 aligned steps; the
