@@ -51,6 +51,17 @@ import numpy as np
 jax.devices()  # force backend init under the watchdog
 _watchdog.cancel()
 
+# Second guard: a half-dead tunnel can answer jax.devices() and then hang
+# the FIRST real computation forever (observed round 5: relay up, remote
+# side wedged — every compile/execute blocked indefinitely). Probe one tiny
+# matmul roundtrip under its own timer so the driver gets the honest
+# error JSON instead of a stuck process.
+_watchdog = threading.Timer(240.0, _tunnel_dead)
+_watchdog.daemon = True
+_watchdog.start()
+jax.device_get(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+_watchdog.cancel()
+
 # Persistent XLA compilation cache: the matrix cold-compiles ~12 executables
 # (the diffusion CFG sampler alone is minutes); with the cache a bench re-run
 # (the driver runs one at every round end) skips straight to execution.
