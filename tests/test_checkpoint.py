@@ -179,3 +179,23 @@ def test_keep_best_checkpoint(tmp_path, monkeypatch, capsys):
     m = MADE(small_G(tmp_path, hidden_size=32, bs=16))
     m.load_weights(tmp_path / 'model_best.pt')
     assert int(m.state.step) == 4 * best['epoch']
+
+
+def test_keep_best_orbax_backend(tmp_path, monkeypatch):
+    """--keep_best under --ckpt=orbax writes orbax_state_best, and
+    --weights_from logdir/model_best.pt maps onto it (the same filename
+    contract the flax backend serves)."""
+    import generative_models_tpu.data.mnist as mdata
+    from generative_models_tpu.main import main
+
+    monkeypatch.setattr(mdata, 'TRAIN_N', 64)
+    monkeypatch.setattr(mdata, 'TEST_N', 32)
+    main([
+        '--model=made', f'--logdir={tmp_path}', '--bs=16',
+        '--hidden_size=32', '--data_source=synthetic', '--save_n=5',
+        '--eval_heavy=0', '--keep_best=nlogp', '--ckpt=orbax', '--epochs=2',
+    ])
+    assert (tmp_path / 'orbax_state_best').is_dir()
+    m = MADE(small_G(tmp_path, hidden_size=32, bs=16, ckpt='orbax'))
+    m.load_weights(tmp_path / 'model_best.pt')
+    assert int(m.state.step) > 0
