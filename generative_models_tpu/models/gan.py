@@ -113,16 +113,18 @@ class GAN(GM):
     # opt-in stabilizers (both default-off => reference-exact training):
     DG.disc_lr = 0.0  # separate discriminator lr (0 = --lr for both). On
     # this workload the measured failure mode is the DISC winning outright
-    # (sustained disc loss < 0.1 from epoch 2, gen loss -> 10; the
-    # reference-exact config ends 50 epochs at FID 0.79). The collapse is
-    # DATA-BORNE, not a framework bug: the torch reference DCGAN on the
-    # identical fallback data/batch order follows the same trajectory
-    # (scripts/gan_crosscheck.py -> gan_crosscheck.json, docs/RESULTS.md
-    # "GAN collapse, cross-framework"). Chip-measured 50-epoch sweep
-    # (scripts/gan_stabilizer_sweep.sh, docs/RESULTS.md): --disc_lr=1e-5
-    # alone FIXES it — FID 0.039, precision/recall 0.77/0.88 — while label
-    # smoothing and SN variants keep disc loss bounded but samples still
-    # degenerate. Defaults stay reference-exact.
+    # (sustained disc loss < 0.1 from epoch 1, gen loss -> 10+, FID stuck
+    # >= 0.75). The collapse is DATA-BORNE, not a framework bug: the torch
+    # reference DCGAN on the identical fallback data/batch order follows
+    # the same trajectory (scripts/gan_crosscheck.py -> gan_crosscheck.json,
+    # docs/RESULTS.md "GAN collapse, cross-framework"). With the corrected
+    # BN-scale init (round 5) the default run ESCAPES the collapse around
+    # epoch ~23 and recovers to FID 0.048 by epoch 50; the round-1..4
+    # zero-centered init never escaped (0.787 @ 50). The stabilizer story
+    # is init-sensitive: under the legacy init only --disc_lr=1e-5 rescued
+    # the run (FID 0.039); the corrected-init 50-epoch sweep
+    # (scripts/gan_stabilizer_sweep.sh -> docs/RESULTS.md) is the current
+    # record. Defaults stay reference-exact.
     DG.spectral_norm = 0  # spectral-normalize the discriminator convs
     DG.label_smooth = 0.0  # one-sided label smoothing: disc's real target
     # becomes 1 - label_smooth (Salimans et al. 2016); measured on this

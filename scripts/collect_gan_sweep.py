@@ -64,16 +64,27 @@ def collect(logdir):
     if 'gan/train/disc/loss' in tags:
         dl = acc.Scalars('gan/train/disc/loss')
         out['disc_loss_final'] = dl[-1].value
-        # sustained collapse: the first epoch from which the disc loss stays
-        # below threshold to the end of the run (a transient dip that
-        # recovers — slowdisc at epoch 8 — is not a collapse)
-        onset = None
-        for e in reversed(dl):
+        # disc-domination window: the first CONSECUTIVE streak of epochs
+        # with mean disc loss < threshold (round 5: with the corrected BN
+        # init the default run collapses at epoch 1 but ESCAPES at ~23 and
+        # recovers to FID 0.048 — onset alone no longer tells the story).
+        # A 1-epoch dip (slowdisc at 8) is ignored.
+        onset = end = None
+        streak = []
+        for e in dl:
             if e.value < COLLAPSE_DISC_LOSS:
-                onset = e.step
+                streak.append(e.step)
             else:
-                break
+                if len(streak) >= 2 and onset is None:
+                    onset, end = streak[0], streak[-1]
+                streak = []
+        if streak and len(streak) >= 2 and onset is None:
+            onset, end = streak[0], streak[-1]
         out['collapse_onset_epoch'] = onset
+        out['collapse_end_epoch'] = end
+        out['collapse_recovered'] = (
+            None if onset is None else bool(end < dl[-1].step)
+        )
     if 'gan/train/gen/loss' in tags:
         out['gen_loss_final'] = acc.Scalars('gan/train/gen/loss')[-1].value
     return out
@@ -94,8 +105,9 @@ def main():
             f'= first epoch with mean train disc loss < {COLLAPSE_DISC_LOSS} '
             '(discriminator winning outright; gen loss -> ~10 follows). '
             'null onset = never collapsed.',
-        'collapse_onset_def': 'first epoch from which mean train disc loss '
-            f'stays < {COLLAPSE_DISC_LOSS} to the end of the run',
+        'collapse_onset_def': 'first consecutive >=2-epoch streak with mean '
+            f'train disc loss < {COLLAPSE_DISC_LOSS} (onset..end); '
+            'recovered = the streak broke before the run ended',
         'runs': sweep,
     }
     OUT.write_text(json.dumps(data, indent=1))

@@ -1,9 +1,11 @@
 #!/bin/bash
-# GAN stabilizer sweep (round 4): the reference-exact DCGAN collapses on
-# this workload by epoch ~3 (disc loss -> 0, gen loss -> 10; 50-epoch FID
-# 0.79, logs/zoo50/gan) and classic TTUR disc_lr=4x made it worse
-# (logs/zoo50/gan_stab). These configs brake the DISCRIMINATOR instead:
-# one-sided label smoothing, a slower disc lr, and SN combined with both.
+# GAN stabilizer sweep (round 4, refreshed round 5): the reference-exact
+# DCGAN enters disc-domination collapse on this workload from epoch 1
+# (disc loss -> 0, gen loss -> 10; with the corrected BN init it escapes
+# at ~epoch 23 and recovers — trajectory in docs/RESULTS.md). These
+# configs brake the DISCRIMINATOR: one-sided label smoothing, a slower
+# disc lr, and SN combined with both. Collected by
+# scripts/collect_gan_sweep.py into RESULTS.json['gan_sweep'].
 set -e
 cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD${PYTHONPATH:+:$PYTHONPATH}
