@@ -39,6 +39,29 @@ RUNS = {
 COLLAPSE_DISC_LOSS = 0.1  # disc effectively perfect => generator starved
 
 
+def collapse_window(pairs, thr=COLLAPSE_DISC_LOSS):
+    """(onset, end, recovered) of the first consecutive >=2-epoch streak
+    with disc loss < thr in [(epoch, value), ...]; (None, None, None) if no
+    such streak. A 1-epoch dip (slowdisc at epoch 8, round 4) is noise,
+    not a collapse. `recovered` = the streak broke before the run ended —
+    round 5's corrected-init default collapses at epoch 1 and ESCAPES at
+    ~23, so onset alone no longer tells the story."""
+    onset = end = None
+    streak = []
+    for step, value in pairs:
+        if value < thr:
+            streak.append(step)
+        else:
+            if len(streak) >= 2 and onset is None:
+                onset, end = streak[0], streak[-1]
+            streak = []
+    if len(streak) >= 2 and onset is None:
+        onset, end = streak[0], streak[-1]
+    if onset is None:
+        return None, None, None
+    return onset, end, bool(end < pairs[-1][0])
+
+
 def collect(logdir):
     acc = EventAccumulator(str(logdir), size_guidance={'scalars': 0})
     acc.Reload()
@@ -64,27 +87,12 @@ def collect(logdir):
     if 'gan/train/disc/loss' in tags:
         dl = acc.Scalars('gan/train/disc/loss')
         out['disc_loss_final'] = dl[-1].value
-        # disc-domination window: the first CONSECUTIVE streak of epochs
-        # with mean disc loss < threshold (round 5: with the corrected BN
-        # init the default run collapses at epoch 1 but ESCAPES at ~23 and
-        # recovers to FID 0.048 — onset alone no longer tells the story).
-        # A 1-epoch dip (slowdisc at 8) is ignored.
-        onset = end = None
-        streak = []
-        for e in dl:
-            if e.value < COLLAPSE_DISC_LOSS:
-                streak.append(e.step)
-            else:
-                if len(streak) >= 2 and onset is None:
-                    onset, end = streak[0], streak[-1]
-                streak = []
-        if streak and len(streak) >= 2 and onset is None:
-            onset, end = streak[0], streak[-1]
+        onset, end, recovered = collapse_window(
+            [(e.step, e.value) for e in dl]
+        )
         out['collapse_onset_epoch'] = onset
         out['collapse_end_epoch'] = end
-        out['collapse_recovered'] = (
-            None if onset is None else bool(end < dl[-1].step)
-        )
+        out['collapse_recovered'] = recovered
     if 'gan/train/gen/loss' in tags:
         out['gen_loss_final'] = acc.Scalars('gan/train/gen/loss')[-1].value
     return out

@@ -107,3 +107,30 @@ def test_legacy_init_recorded_for_the_record(cross):
     assert np.mean(leg_d) > np.mean(fix_d)
     late_d, late_g = _at(cross['ours_legacy'], 1400)
     assert late_d.min() < 0.15 and late_g.max() > 2.0
+
+
+def test_collapse_window_semantics():
+    """scripts/collect_gan_sweep.py::collapse_window: first >=2-epoch
+    streak below threshold; 1-epoch dips are noise; recovered iff the
+    streak breaks before the run ends."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / 'scripts'))
+    from collect_gan_sweep import collapse_window
+
+    # round-5 corrected-init default: collapse 1..22, escape at 23
+    run = [(0, 0.5)] + [(e, 0.001) for e in range(1, 23)] + [
+        (e, 0.12 if e % 2 else 0.05) for e in range(23, 51)
+    ]
+    assert collapse_window(run) == (1, 22, True)
+    # legacy init: collapse 2..50, never recovers
+    run = [(0, 1.3), (1, 0.4)] + [(e, 0.001) for e in range(2, 51)]
+    assert collapse_window(run) == (2, 50, False)
+    # slowdisc: a single-epoch dip is not a collapse
+    run = [(e, 0.4) for e in range(8)] + [(8, 0.05)] + [
+        (e, 0.4) for e in range(9, 51)
+    ]
+    assert collapse_window(run) == (None, None, None)
+    # healthy run
+    assert collapse_window([(e, 0.6) for e in range(10)]) == (None, None, None)
