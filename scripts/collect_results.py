@@ -136,7 +136,13 @@ def seed_diffusion_from_eval(result, eval_path=Path('EVAL.json')):
 def main():
     root = Path(sys.argv[1] if len(sys.argv) > 1 else 'logs/zoo_results')
     out_path = Path(sys.argv[2] if len(sys.argv) > 2 else 'RESULTS.json')
-    result = {
+    # merge-don't-clobber: RESULTS.json also carries sections owned by other
+    # collectors (gan_sweep by collect_gan_sweep.py, idx_rehearsal by
+    # idx_rehearsal.py) — rewriting the file from scratch silently dropped
+    # idx_rehearsal once (round 5); preserve every key this collector
+    # doesn't own.
+    result = json.loads(out_path.read_text()) if out_path.exists() else {}
+    result.update({
         'description': (
             'Measured quality metrics for the full zoo: CLI runs with '
             "--eval_heavy=1 (>=500 samples, shipped arbiters); each entry's "
@@ -149,7 +155,7 @@ def main():
         ),
         'logroot': str(root),
         'models': {},
-    }
+    })
     for model in MODELS:
         d = root / model
         if not (d / 'hps.yaml').exists():

@@ -320,6 +320,22 @@ def main():
     if gcross:
         parts += ['', '## GAN collapse, cross-framework', '',
                   gan_crosscheck_section(gcross)]
+    if results and results.get('idx_rehearsal'):
+        ir = results['idx_rehearsal']
+        row = next((v for k, v in ir.items() if k != 'description'), {})
+        pc = row.get('parity_curve', {})
+        parts += [
+            '', '## Real-data (idx) pipeline rehearsal', '',
+            ir.get('description', ''), '',
+            f"made, {row.get('epochs', '?')} epochs on `data: "
+            f"{row.get('data', '?')}` ({row.get('device', '?')}): bits/dim "
+            f"{fmt(row.get('bits_per_dim'))}, FID {fmt(row.get('fid'))}, "
+            f"precision/recall {fmt(row.get('precision'))}/"
+            f"{fmt(row.get('recall'))}; parity recorder ran "
+            f"{pc.get('steps', '?')} aligned steps on the same idx images "
+            f"(loss {fmt(pc.get('first_loss'))} → "
+            f"{fmt(pc.get('last_loss'))}).",
+        ]
     if bench:
         dev = bench.get('device', 'TPU')
         parts += [
