@@ -401,7 +401,8 @@ class GM:
         elif not path.exists():
             # --weights_from dir/model.pt (or dir/model_best.pt) under the
             # orbax backend: map the filename onto its directory layout
-            alt = path.parent / path.name.replace('model', 'orbax_state').removesuffix('.pt')
+            alt_name = path.name.replace('model', 'orbax_state')
+            alt = path.parent / alt_name.removesuffix('.pt')
             if alt.is_dir():
                 orbax_dir = alt
         if orbax_dir is not None:
